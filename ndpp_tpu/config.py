@@ -1,0 +1,185 @@
+"""Run configuration.
+
+The reference uses an XML input deck (vendored FoX-style parser; SURVEY.md
+section 2 'Config/input'). Here: a single TOML (or JSON) file with the same
+semantics — library listing, nuclide set, group structure, Legendre order,
+temperatures, thermal cutoff, output format — plus CLI overrides. The full
+resolved config is echoed into the output library metadata for provenance
+(SURVEY.md section 5, config/flag system).
+
+Example deck (TOML):
+
+    [run]
+    nuclides = ["1001.80c", "26056.80c"]      # ZAID.suffix, or "all"
+    library = "tests/fixtures/xsdir"           # xsdir | cross_sections.xml | dir of .ace
+    groups = "uniform-lethargy-47"             # registry name or boundary file
+    legendre_order = 3
+    temperatures = [293.6]                     # Kelvin; free-gas temps
+    thermal_cutoff_kt = 400.0                  # free-gas below cutoff*kT (SURVEY.md 3.3)
+
+    [output]
+    path = "out/library.h5"
+    format = "hdf5"                            # hdf5 | ascii | both
+
+    [device]
+    precision = "f64"                          # f64 | f32 | dd (double-double pallas)
+    e_tile = 512                               # incident-energy tile size
+    mesh = "auto"                              # or [n_nuclide_shards, n_e_shards]
+"""
+
+from __future__ import annotations
+
+import json
+import tomllib
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Any
+
+from ndpp_tpu import groups as groups_mod
+from ndpp_tpu.utils.errors import ConfigError
+
+BOLTZMANN_EV_PER_K = 8.617333262e-5  # eV/K (CODATA)
+
+
+@dataclass
+class OutputConfig:
+    path: str = "ndpp_library.h5"
+    format: str = "hdf5"  # hdf5 | ascii | both
+
+    def validate(self) -> None:
+        if self.format not in ("hdf5", "ascii", "both"):
+            raise ConfigError(f"output.format must be hdf5|ascii|both, got {self.format!r}")
+
+
+@dataclass
+class DeviceConfig:
+    precision: str = "f64"  # f64 | f32 | dd
+    e_tile: int = 512
+    quad_points: int = 16  # Gauss-Legendre points per subinterval
+    mesh: Any = "auto"  # "auto" | [n_nuclide, n_e]
+    profile: bool = False
+
+    def validate(self) -> None:
+        if self.precision not in ("f64", "f32", "dd"):
+            raise ConfigError(f"device.precision must be f64|f32|dd, got {self.precision!r}")
+        if self.e_tile <= 0 or self.quad_points <= 0:
+            raise ConfigError("device.e_tile and device.quad_points must be positive")
+
+
+@dataclass
+class RunConfig:
+    nuclides: list[str] = field(default_factory=list)
+    library: str = ""
+    groups: str = "uniform-lethargy-47"
+    legendre_order: int = 3
+    temperatures: list[float] = field(default_factory=lambda: [293.6])  # Kelvin
+    thermal_cutoff_kt: float = 400.0
+    include_yield: bool = True  # weight transfer moments by neutron multiplicity
+    freegas_for: list[str] = field(default_factory=list)  # nuclide names; empty = all with A < 400... see prep
+    output: OutputConfig = field(default_factory=OutputConfig)
+    device: DeviceConfig = field(default_factory=DeviceConfig)
+    resume: bool = False
+
+    def validate(self) -> None:
+        if self.legendre_order < 0 or self.legendre_order > 10:
+            raise ConfigError(f"legendre_order must be in [0, 10], got {self.legendre_order}")
+        if not self.temperatures:
+            raise ConfigError("at least one temperature is required")
+        if any(t <= 0 for t in self.temperatures):
+            raise ConfigError("temperatures must be positive (Kelvin)")
+        self.output.validate()
+        self.device.validate()
+
+    def group_structure(self) -> groups_mod.GroupStructure:
+        return groups_mod.get(self.groups)
+
+    def kt_ev(self, temperature_k: float) -> float:
+        return BOLTZMANN_EV_PER_K * temperature_k
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+
+def _build(data: dict) -> RunConfig:
+    run = dict(data.get("run", {}))
+    cfg = RunConfig(
+        nuclides=list(run.get("nuclides", [])),
+        library=str(run.get("library", "")),
+        groups=str(run.get("groups", "uniform-lethargy-47")),
+        legendre_order=int(run.get("legendre_order", 3)),
+        temperatures=[float(t) for t in run.get("temperatures", [293.6])],
+        thermal_cutoff_kt=float(run.get("thermal_cutoff_kt", 400.0)),
+        include_yield=bool(run.get("include_yield", True)),
+        freegas_for=list(run.get("freegas_for", [])),
+        resume=bool(run.get("resume", False)),
+    )
+    out = data.get("output", {})
+    cfg.output = OutputConfig(
+        path=str(out.get("path", cfg.output.path)),
+        format=str(out.get("format", cfg.output.format)),
+    )
+    dev = data.get("device", {})
+    cfg.device = DeviceConfig(
+        precision=str(dev.get("precision", cfg.device.precision)),
+        e_tile=int(dev.get("e_tile", cfg.device.e_tile)),
+        quad_points=int(dev.get("quad_points", cfg.device.quad_points)),
+        mesh=dev.get("mesh", cfg.device.mesh),
+        profile=bool(dev.get("profile", cfg.device.profile)),
+    )
+    cfg.validate()
+    return cfg
+
+
+def load(path: str | Path) -> RunConfig:
+    """Load a TOML or JSON input deck."""
+    p = Path(path)
+    if not p.exists():
+        raise ConfigError(f"config file not found: {p}")
+    if p.suffix == ".json":
+        data = json.loads(p.read_text())
+    else:
+        with open(p, "rb") as f:
+            data = tomllib.load(f)
+    if not isinstance(data, dict):
+        raise ConfigError(f"config root must be a table/object: {p}")
+    return _build(data)
+
+
+def apply_overrides(cfg: RunConfig, overrides: list[str]) -> RunConfig:
+    """Apply CLI 'dotted.key=value' overrides, e.g. run.legendre_order=5, output.format=both."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ConfigError(f"override must be key=value, got {ov!r}")
+        key, val = ov.split("=", 1)
+        parts = key.split(".")
+        target: Any = cfg
+        # allow both "run.x" and bare "x" for RunConfig fields
+        if parts[0] == "run":
+            parts = parts[1:]
+        elif parts[0] in ("output", "device") and len(parts) > 1:
+            target = getattr(cfg, parts[0])
+            parts = parts[1:]
+        if len(parts) != 1 or not hasattr(target, parts[0]):
+            raise ConfigError(f"unknown config key {key!r}")
+        name = parts[0]
+        current = getattr(target, name)
+        try:
+            parsed: Any
+            if isinstance(current, bool):
+                parsed = val.lower() in ("1", "true", "yes", "on")
+            elif isinstance(current, int):
+                parsed = int(val)
+            elif isinstance(current, float):
+                parsed = float(val)
+            elif isinstance(current, list):
+                parsed = json.loads(val) if val.startswith("[") else [v.strip() for v in val.split(",")]
+            else:
+                parsed = val
+        except (ValueError, json.JSONDecodeError) as e:
+            raise ConfigError(f"cannot parse override {ov!r}: {e}") from e
+        setattr(target, name, parsed)
+    cfg.validate()
+    return cfg

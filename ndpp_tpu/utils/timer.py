@@ -1,0 +1,50 @@
+"""Per-phase wall-clock timers.
+
+The reference prints a timer table at exit (SURVEY.md section 5, tracing).
+Here timers are structured: nested spans accumulated into a dict that is
+emitted in the end-of-run metrics block and echoed into the output library
+metadata for provenance.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+
+class PhaseTimers:
+    """Accumulating named wall-clock spans.
+
+    >>> t = PhaseTimers()
+    >>> with t.span("parse"):
+    ...     pass
+    >>> "parse" in t.report()
+    True
+    """
+
+    def __init__(self) -> None:
+        self._elapsed: dict[str, float] = {}
+        self._counts: dict[str, int] = {}
+
+    @contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self._elapsed[name] = self._elapsed.get(name, 0.0) + dt
+            self._counts[name] = self._counts.get(name, 0) + 1
+
+    def add(self, name: str, seconds: float) -> None:
+        self._elapsed[name] = self._elapsed.get(name, 0.0) + seconds
+        self._counts[name] = self._counts.get(name, 0) + 1
+
+    def report(self) -> dict[str, float]:
+        return dict(sorted(self._elapsed.items(), key=lambda kv: -kv[1]))
+
+    def pretty(self) -> str:
+        lines = ["phase timers (s):"]
+        for name, dt in self.report().items():
+            lines.append(f"  {name:<32s} {dt:10.3f}  (x{self._counts[name]})")
+        return "\n".join(lines)
