@@ -1,0 +1,135 @@
+"""Two-body (elastic + discrete-level inelastic) group-transfer moments.
+
+The heart of configuration 1/2 (BASELINE.json:7-8). For each incident
+energy E, two-body kinematics with reaction constants (C1, C2):
+
+    E_cm' = C2 * (E - C1)                 (C1 = |Q|(A+1)/A, C2 = (A/(A+1))^2;
+                                           elastic: C1 = 0)
+    E'_lab(mu_cm) = E_cm' + [E + 2 mu_cm (A+1) sqrt(E E_cm')] / (A+1)^2
+    mu_lab = mu_cm sqrt(E_cm'/E'_lab) + sqrt(E/E'_lab) / (A+1)
+
+E'_lab is affine and monotone-increasing in mu_cm, so outgoing-group
+boundaries map to closed-form mu_cm breakpoints (SURVEY.md sections 3.2,
+8.2). The kernel preserves the reference's exact-breakpoint-then-GL
+structure — no quadrature panel ever crosses a p(mu) knot or a group
+boundary, which is what makes 1e-8 attainable:
+
+  edges   = sort( knots(E) ++ breakpoints(E) )         (static width K+G+1)
+  each subinterval integrates p(mu) P_l(mu_lab) with GL and scatters into
+  its single outgoing group.
+
+Inputs are host-prepared, padded, piecewise-LINEAR angular pdfs on per-E
+knot rows (ndpp_tpu.host.prep normalizes histogram/equiprobable encodings
+by knot doubling). Everything is statically shaped; jit-compiled once per
+(shape, order, nq).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
+
+
+def _interp_rows(knots, pdf, mu):
+    """Piecewise-linear pdf evaluation per row, safe on duplicated knots.
+
+    knots/pdf: (T, K) — non-decreasing knots (duplicates encode steps).
+    mu: (T, S) query points. Returns (T, S).
+    """
+
+    def row(kn, pd, m):
+        k = kn.shape[0]
+        idx = jnp.clip(jnp.searchsorted(kn, m, side="right") - 1, 0, k - 2)
+        x0 = kn[idx]
+        x1 = kn[idx + 1]
+        y0 = pd[idx]
+        y1 = pd[idx + 1]
+        dx = x1 - x0
+        t = jnp.where(dx > 0, (m - x0) / jnp.where(dx > 0, dx, 1.0), 0.0)
+        return y0 + t * (y1 - y0)
+
+    return jax.vmap(row)(knots, pdf, mu)
+
+
+@partial(jax.jit, static_argnames=("order", "nq"))
+def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16):
+    """Group-transfer Legendre moments for one two-body reaction.
+
+    Args:
+      e:      (T,) incident energies (eV).
+      knots:  (T, K) mu_cm knots of the piecewise-linear p(mu|E) (padded by
+              repeating the last knot).
+      pdf:    (T, K) pdf values at the knots.
+      bounds: (G+1,) ascending group boundaries (eV).
+      c1, c2: reaction kinematic constants (eV, -); scalars.
+      awr:    atomic weight ratio A; scalar.
+      order:  max Legendre order L (static).
+      nq:     GL points per subinterval (static).
+
+    Returns:
+      (T, L+1, G) moments f_{l,g'}(E): the expected value, per scattering
+      event, of P_l(mu_lab) joint with outgoing energy in group g'.
+      Rows with E below threshold are all zero.
+    """
+    xq, wq = gl_nodes_weights(nq)
+    xq = jnp.asarray(xq, dtype=e.dtype)
+    wq = jnp.asarray(wq, dtype=e.dtype)
+    ng = bounds.shape[0] - 1
+    ap1 = awr + 1.0
+
+    ecm = c2 * (e - c1)  # (T,) outgoing CM energy
+    valid_e = ecm > 0.0
+    ecm = jnp.where(valid_e, ecm, 1.0)  # keep math finite on masked rows
+    e_safe = jnp.where(valid_e, e, 1.0)
+
+    base = ecm + e_safe / ap1**2  # E'_lab = base + slope * mu_cm
+    slope = 2.0 * jnp.sqrt(e_safe * ecm) / ap1
+
+    # Group-boundary breakpoints in mu_cm, clipped into [-1, 1]
+    brk = (bounds[None, :] - base[:, None]) / slope[:, None]  # (T, G+1)
+    brk = jnp.clip(brk, -1.0, 1.0)
+
+    edges = jnp.sort(jnp.concatenate([knots, brk], axis=1), axis=1)  # (T, M)
+    lo = edges[:, :-1]
+    hi = edges[:, 1:]
+    half = 0.5 * (hi - lo)  # (T, S)
+    mid = 0.5 * (hi + lo)
+
+    # Quadrature points per subinterval: (T, S, Q)
+    mu_q = mid[:, :, None] + half[:, :, None] * xq[None, None, :]
+    tt, ss, qq = mu_q.shape
+    pdf_q = _interp_rows(knots, pdf, mu_q.reshape(tt, ss * qq)).reshape(tt, ss, qq)
+
+    elab_q = base[:, None, None] + slope[:, None, None] * mu_q
+    mu_lab = mu_q * jnp.sqrt(ecm)[:, None, None] / jnp.sqrt(elab_q) + (
+        jnp.sqrt(e_safe)[:, None, None] / (ap1 * jnp.sqrt(elab_q))
+    )
+    # guard rounding: |mu_lab| <= 1
+    mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
+
+    pl = legendre_all(mu_lab, order)  # (T, S, Q, L+1)
+    weight = pdf_q * wq[None, None, :] * half[:, :, None]  # (T, S, Q)
+    m = jnp.einsum("tsq,tsql->tls", weight, pl)  # (T, L+1, S)
+
+    # Outgoing group of each subinterval (constant within it, by construction)
+    elab_mid = base[:, None] + slope[:, None] * mid  # (T, S)
+    gidx = jnp.searchsorted(bounds, elab_mid, side="right") - 1  # (T, S)
+    valid = (half[:, :] > 0.0) & (gidx >= 0) & (gidx < ng) & valid_e[:, None]
+    gidx = jnp.clip(gidx, 0, ng - 1)
+    m = m * valid[:, None, :]
+
+    def scatter_row(m_row, g_row):
+        return jnp.zeros((m_row.shape[0], ng), dtype=m_row.dtype).at[:, g_row].add(m_row)
+
+    return jax.vmap(scatter_row)(m, gidx)  # (T, L+1, G)
+
+
+def twobody_constants(awr: float, q_ev: float) -> tuple[float, float]:
+    """(C1, C2) for a two-body reaction with Q-value q_ev (Q=0 -> elastic)."""
+    c1 = abs(q_ev) * (awr + 1.0) / awr
+    c2 = (awr / (awr + 1.0)) ** 2
+    return c1, c2
