@@ -16,9 +16,18 @@ On TPU, f64 is XLA-emulated (verified working, SURVEY.md section 8.6).
 
 import os as _os
 
-if not _os.environ.get("NDPP_TPU_NO_X64"):
-    import jax as _jax
+import jax as _jax
 
+if not _os.environ.get("NDPP_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
+
+# XLA compilation on this platform is expensive (seconds per kernel shape);
+# a persistent on-disk cache makes repeat shapes cheap across processes.
+if not _os.environ.get("NDPP_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "NDPP_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/ndpp_tpu_xla")
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from ndpp_tpu.version import __version__  # noqa: E402,F401

@@ -1,0 +1,155 @@
+"""Command-line interface: the equivalent of the reference's ``ndpp`` binary.
+
+    ndpp run -c deck.toml [-o key=value ...]     full preprocessing run
+    ndpp fixtures --out DIR                      synthetic ACE library + xsdir
+    ndpp compare A.h5 B.h5 [--rtol 1e-8]         tolerance-aware comparator
+    ndpp info LIB.h5                             library summary
+    ndpp groups [NAME]                           list / dump group structures
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ndpp_tpu import config as config_mod
+from ndpp_tpu import groups as groups_mod
+from ndpp_tpu.utils import log as log_mod
+from ndpp_tpu.utils.errors import NdppError
+from ndpp_tpu.version import __version__
+
+
+def _cmd_run(args) -> int:
+    from ndpp_tpu import driver
+
+    cfg = config_mod.load(args.config)
+    if args.override:
+        config_mod.apply_overrides(cfg, args.override)
+    if args.resume:
+        cfg.resume = True
+    if args.profile:
+        cfg.device.profile = True
+    metrics = driver.run(cfg)
+    print(metrics.json_line())
+    return 0 if metrics.nuclides_quarantined == 0 else 3
+
+
+def _cmd_fixtures(args) -> int:
+    from ndpp_tpu.host.ace import synth
+    from ndpp_tpu.host.ace.write import write_ace
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    lines = []
+    for key in sorted(synth.ALL_FIXTURES):
+        nuc = synth.build(key)
+        path = out / f"{key}.ace"
+        write_ace(nuc, path)
+        lines.append(f"{nuc.name} {nuc.awr:.6f} {path.name} 0 1 1 0")
+        print(f"wrote {path} ({nuc.name})")
+    (out / "xsdir").write_text("directory\n" + "\n".join(lines) + "\n")
+    print(f"wrote {out / 'xsdir'} ({len(lines)} entries)")
+    return 0
+
+
+def _cmd_compare(args) -> int:
+    from ndpp_tpu.io.library import compare
+
+    report = compare(args.a, args.b, rtol=args.rtol, atol=args.atol)
+    worst = sorted(
+        ((k, v) for k, v in report["datasets"].items() if "max_rel" in v),
+        key=lambda kv: -kv[1]["max_rel"],
+    )
+    for k, v in worst[: args.top]:
+        status = "ok " if v["ok"] else "FAIL"
+        print(f"{status} {k}: max_rel={v['max_rel']:.3e} max_abs={v['max_abs']:.3e}")
+    for m in report["missing"]:
+        print(f"MISSING {m}")
+    print(f"match={report['match']} (rtol={args.rtol})")
+    return 0 if report["match"] else 1
+
+
+def _cmd_info(args) -> int:
+    import h5py
+
+    with h5py.File(args.library, "r") as f:
+        print(f"format {f.attrs.get('format_version')} written by ndpp-tpu {f.attrs.get('ndpp_tpu_version')}")
+        gsg = f["group_structure"]
+        print(f"groups: {gsg.attrs.get('name')} ({gsg['bounds'].shape[0] - 1} groups)")
+        print(f"legendre_order: {f.attrs.get('legendre_order')}")
+        print(f"temperatures: {list(np.asarray(f['temperatures']))}")
+        nucs = f["nuclides"]
+        print(f"nuclides ({len(nucs)}):")
+        for name in sorted(nucs):
+            g = nucs[name]
+            ne = g["energy"].shape[0]
+            shape = g["scatter"].shape
+            chi = " chi" if "chi_prompt" in g else ""
+            done = "complete" if g.attrs.get("complete") else "INCOMPLETE"
+            print(f"  {name:<14s} NE={ne:<7d} scatter{shape}{chi} [{done}]")
+        if "metrics" in f:
+            print("metrics:", f["metrics"][()].decode() if isinstance(f["metrics"][()], bytes) else f["metrics"][()])
+    return 0
+
+
+def _cmd_groups(args) -> int:
+    if args.name:
+        g = groups_mod.get(args.name)
+        print(f"# {g.name}: {g.ng} groups, checksum {g.checksum()}")
+        for b in g.bounds:
+            print(f"{b:.12e}")
+    else:
+        for name in groups_mod.names():
+            g = groups_mod.get(name)
+            print(f"{name:<24s} {g.ng:>4d} groups  [{g.emin:.3e}, {g.emax:.3e}] eV")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ndpp", description="TPU-native nuclear-data preprocessor")
+    p.add_argument("--version", action="version", version=f"ndpp-tpu {__version__}")
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run preprocessing from an input deck")
+    pr.add_argument("-c", "--config", required=True)
+    pr.add_argument("-o", "--override", action="append", default=[], metavar="KEY=VALUE")
+    pr.add_argument("--resume", action="store_true", help="skip nuclides already complete in the output")
+    pr.add_argument("--profile", action="store_true", help="enable device profiling")
+    pr.set_defaults(fn=_cmd_run)
+
+    pf = sub.add_parser("fixtures", help="generate the synthetic ACE fixture library")
+    pf.add_argument("--out", required=True)
+    pf.set_defaults(fn=_cmd_fixtures)
+
+    pc = sub.add_parser("compare", help="compare two HDF5 moment libraries")
+    pc.add_argument("a")
+    pc.add_argument("b")
+    pc.add_argument("--rtol", type=float, default=1e-8)
+    pc.add_argument("--atol", type=float, default=0.0)
+    pc.add_argument("--top", type=int, default=20)
+    pc.set_defaults(fn=_cmd_compare)
+
+    pi = sub.add_parser("info", help="summarize an HDF5 moment library")
+    pi.add_argument("library")
+    pi.set_defaults(fn=_cmd_info)
+
+    pg = sub.add_parser("groups", help="list group structures / dump boundaries")
+    pg.add_argument("name", nargs="?")
+    pg.set_defaults(fn=_cmd_groups)
+
+    args = p.parse_args(argv)
+    log_mod.setup(level=10 if args.verbose else 20)
+    try:
+        return args.fn(args)
+    except NdppError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,6 +75,7 @@ class RunConfig:
     temperatures: list[float] = field(default_factory=lambda: [293.6])  # Kelvin
     thermal_cutoff_kt: float = 400.0
     include_yield: bool = True  # weight transfer moments by neutron multiplicity
+    clamp_outside: bool = True  # out-of-range outgoing E collapses into edge groups
     freegas_for: list[str] = field(default_factory=list)  # nuclide names; empty = all with A < 400... see prep
     output: OutputConfig = field(default_factory=OutputConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
@@ -113,6 +114,7 @@ def _build(data: dict) -> RunConfig:
         temperatures=[float(t) for t in run.get("temperatures", [293.6])],
         thermal_cutoff_kt=float(run.get("thermal_cutoff_kt", 400.0)),
         include_yield=bool(run.get("include_yield", True)),
+        clamp_outside=bool(run.get("clamp_outside", True)),
         freegas_for=list(run.get("freegas_for", [])),
         resume=bool(run.get("resume", False)),
     )

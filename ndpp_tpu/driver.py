@@ -1,0 +1,218 @@
+"""Per-nuclide processing pipeline and run driver.
+
+The new-framework equivalent of the reference main program stack
+(SURVEY.md section 3.1):
+
+    cli.run -> config.load -> host parse (ACE) -> host prep/padding
+      -> device kernels (two-body / continuum / free-gas / chi)
+      -> host write (HDF5/ASCII)
+
+Per-nuclide failures are quarantined rather than fatal (SURVEY.md section
+5 'failure detection'): the sweep is a bag of independent tasks.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ndpp_tpu.config import BOLTZMANN_EV_PER_K, RunConfig
+from ndpp_tpu.groups import GroupStructure
+from ndpp_tpu.host import library_index, unionize
+from ndpp_tpu.host.ace.parse import read_ace
+from ndpp_tpu.host.ace.records import Nuclide, Reaction
+from ndpp_tpu.host.prep import prepare_twobody
+from ndpp_tpu.io.library import NuclideResult, open_writers
+from ndpp_tpu.ops.twobody import twobody_moments
+from ndpp_tpu.utils import log as log_mod
+from ndpp_tpu.utils.errors import NdppError
+from ndpp_tpu.utils.metrics import RunMetrics
+from ndpp_tpu.utils.timer import PhaseTimers
+
+
+def is_twobody(rxn: Reaction) -> bool:
+    """Elastic, or a reaction whose only energy law is 3 (discrete level)."""
+    if rxn.mt == 2:
+        return True
+    return len(rxn.energy_dists) == 1 and rxn.energy_dists[0].law == 3
+
+
+def reaction_yield(rxn: Reaction, e_grid: np.ndarray, include_yield: bool) -> np.ndarray:
+    """Neutron multiplicity on the grid (1.0 everywhere if yields disabled)."""
+    if not include_yield:
+        return np.ones_like(e_grid)
+    if rxn.yield_tab is not None:
+        return rxn.yield_tab(e_grid)
+    mult = rxn.multiplicity if rxn.multiplicity not in (0, 19) else 1
+    return np.full_like(e_grid, float(mult))
+
+
+@dataclass
+class ScatterInputs:
+    """A single reaction's contribution, ready for tiled device execution."""
+
+    rxn: Reaction
+    sigma: np.ndarray  # (NE,) on the union grid
+    yld: np.ndarray  # (NE,)
+
+
+def _pow2_at_most(n: int, cap: int) -> int:
+    """Smallest power of two >= n, capped at cap (canonical tile sizes maximize jit-cache reuse)."""
+    p = 1
+    while p < n and p < cap:
+        p *= 2
+    return min(p, cap)
+
+
+def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetrics | None, clamp: bool = True):
+    """Run the two-body kernel over fixed-size E-tiles; returns (NE, L+1, G)."""
+    prep = prepare_twobody(nuc, rxn, e_grid)
+    if metrics is not None:
+        metrics.record_padding(prep.real_elements, prep.padded_elements)
+    ne = e_grid.size
+    tile = _pow2_at_most(ne, tile)
+    # pad the knot axis to a multiple of 16 so reactions with similar table
+    # sizes share one compiled kernel
+    k16 = -(-prep.knots.shape[1] // 16) * 16
+    knots = unionize.pad_to(prep.knots, k16, axis=1)
+    pdf = unionize.pad_to(prep.pdf, k16, axis=1)
+    out = np.empty((ne, order + 1, bounds.size - 1))
+    b = jnp.asarray(bounds)
+    for start, length in unionize.tile_indices(ne, tile):
+        e_t = unionize.pad_to(prep.e[start : start + length], tile)
+        k_t = unionize.pad_to(knots[start : start + length], tile)
+        p_t = unionize.pad_to(pdf[start : start + length], tile)
+        res = twobody_moments(
+            jnp.asarray(e_t), jnp.asarray(k_t), jnp.asarray(p_t), b, prep.c1, prep.c2, prep.awr, order, nq, clamp
+        )
+        out[start : start + length] = np.asarray(res)[:length]
+    return out
+
+
+def scattering_moments(
+    nuc: Nuclide,
+    gs: GroupStructure,
+    cfg: RunConfig,
+    e_grid: np.ndarray,
+    metrics: RunMetrics | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Combined per-unit-scatter transfer moments over all scattering MTs.
+
+    f_{l,g'}(E) = sum_MT [ sigma_MT(E) y_MT(E) / sigma_scat(E) ] f^MT_{l,g'}(E)
+    with sigma_scat = sum_MT sigma_MT (fission excluded; SURVEY.md section 3.1).
+
+    Returns (moments (NE, L+1, G), sigma_scatter (NE,)).
+    """
+    log = log_mod.get()
+    rxns = nuc.scattering_reactions(include_fission=False)
+    ne = e_grid.size
+    order = cfg.legendre_order
+    tile = min(cfg.device.e_tile, ne)
+    sigma_by_rxn = {}
+    for rxn in rxns:
+        sig = nuc.sigma_on_grid(rxn)
+        if e_grid.size != nuc.energy.size or not np.array_equal(e_grid, nuc.energy):
+            sig = np.interp(e_grid, nuc.energy, sig)
+        sigma_by_rxn[rxn.mt] = sig
+    sigma_s = np.sum([sigma_by_rxn[r.mt] for r in rxns], axis=0)
+    accum = np.zeros((ne, order + 1, gs.ng))
+    for rxn in rxns:
+        if is_twobody(rxn):
+            mom = _tiled_twobody(
+                nuc, rxn, e_grid, gs.bounds, order, cfg.device.quad_points, tile, metrics, cfg.clamp_outside
+            )
+        else:
+            from ndpp_tpu.continuum_driver import continuum_reaction_moments
+
+            mom = continuum_reaction_moments(nuc, rxn, e_grid, gs, order, cfg, metrics)
+        yld = reaction_yield(rxn, e_grid, cfg.include_yield)
+        w = np.where(sigma_s > 0, sigma_by_rxn[rxn.mt] / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
+        accum += (w * yld)[:, None, None] * mom
+        log.debug("MT=%d moments done", rxn.mt)
+    return accum, sigma_s
+
+
+def process_nuclide(nuc: Nuclide, gs: GroupStructure, cfg: RunConfig, metrics: RunMetrics | None = None) -> NuclideResult:
+    """Full single-nuclide pipeline -> NuclideResult."""
+    e_grid = unionize.moment_grid(nuc.energy)
+    temps = np.asarray(cfg.temperatures, dtype=np.float64)
+    nt = temps.size
+
+    base, sigma_s = scattering_moments(nuc, gs, cfg, e_grid, metrics)
+    scatter = np.broadcast_to(base, (nt,) + base.shape).copy()
+
+    # Free-gas thermal replacement below the cutoff, per temperature
+    from ndpp_tpu.freegas_driver import apply_freegas
+
+    scatter = apply_freegas(scatter, nuc, gs, cfg, e_grid, metrics)
+
+    res = NuclideResult(
+        name=nuc.name,
+        zaid=nuc.zaid,
+        awr=nuc.awr,
+        kT=nuc.kT,
+        energy=e_grid,
+        temperatures=temps,
+        scatter=scatter,
+        sigma_scatter=sigma_s,
+    )
+
+    if nuc.fissionable:
+        from ndpp_tpu.chi_driver import chi_collapse
+
+        chi_collapse(res, nuc, gs, cfg, metrics)
+
+    if metrics is not None:
+        metrics.moments_computed += scatter.size
+    return res
+
+
+def run(cfg: RunConfig) -> RunMetrics:
+    """Full library run: parse -> process -> write, with quarantine + resume."""
+    log = log_mod.get()
+    timers = PhaseTimers()
+    metrics = RunMetrics()
+    t0 = time.perf_counter()
+
+    gs = cfg.group_structure()
+    with timers.span("index"):
+        idx = library_index.load(cfg.library)
+    names = cfg.nuclides or idx.names()
+    if names == ["all"]:
+        names = idx.names()
+
+    writers = open_writers(cfg, gs)
+    quarantined: list[tuple[str, str]] = []
+    try:
+        for name in names:
+            if cfg.resume and any(w.is_complete(name) for w in writers):
+                log.info("resume: skipping %s (complete)", name)
+                continue
+            try:
+                with timers.span("parse"):
+                    nuc = read_ace(idx.path_for(name), name_hint=name)
+                with timers.span("compute"):
+                    res = process_nuclide(nuc, gs, cfg, metrics)
+                with timers.span("write"):
+                    for w in writers:
+                        w.write_nuclide(res)
+                metrics.nuclides_done += 1
+                log.info("done %s (NE=%d)", name, res.energy.size)
+            except NdppError as e:
+                # quarantine this nuclide, keep sweeping (SURVEY.md section 5)
+                quarantined.append((name, str(e)))
+                metrics.nuclides_quarantined += 1
+                log.error("quarantined %s: %s", name, e)
+    finally:
+        metrics.wall_seconds = time.perf_counter() - t0
+        metrics.phase_seconds = timers.report()
+        metrics.capture_device_mem()
+        for w in writers:
+            w.finalize(metrics.to_dict())
+    log.info("run complete: %s", metrics.json_line())
+    if quarantined:
+        log.warning("%d nuclide(s) quarantined: %s", len(quarantined), [q[0] for q in quarantined])
+    return metrics

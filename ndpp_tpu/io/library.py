@@ -1,0 +1,236 @@
+"""Group-wise moment library writers (HDF5 + ASCII) and comparator.
+
+The reference writes HDF5 and/or ASCII moment libraries (SURVEY.md section
+3.5). Its exact schema is not available on this machine, so this is the
+documented, versioned 'NDPP-TPU library format v1' (docs/format.md;
+SURVEY.md section 3.5 mandates the versioned schema + comparator as the
+bit-compat readiness story). Nuclide-at-a-time writes with a ``complete``
+attribute are the checkpoint/resume mechanism (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from ndpp_tpu.groups import GroupStructure
+from ndpp_tpu.version import LIBRARY_FORMAT_VERSION, __version__
+
+
+@dataclass
+class NuclideResult:
+    """Everything the pipeline computed for one nuclide."""
+
+    name: str
+    zaid: int
+    awr: float
+    kT: float  # eV (ACE table base temperature)
+    energy: np.ndarray  # (NE,) eV — moment tabulation grid
+    temperatures: np.ndarray  # (NT,) Kelvin
+    scatter: np.ndarray  # (NT, NE, L+1, G) transfer moments per unit scatter
+    sigma_scatter: np.ndarray  # (NE,) total scattering xs (weights denominator)
+    chi_energy: np.ndarray | None = None  # (NEchi,) incident grid for chi
+    chi_prompt: np.ndarray | None = None  # (NEchi, G)
+    chi_delayed: np.ndarray | None = None  # (NEchi, G) combined delayed
+    chi_total: np.ndarray | None = None  # (NEchi, G)
+    nu_prompt: np.ndarray | None = None  # (NEchi,)
+    nu_delayed: np.ndarray | None = None  # (NEchi,)
+    nu_total: np.ndarray | None = None  # (NEchi,)
+    extra: dict = field(default_factory=dict)
+
+
+_OPTIONAL_SETS = (
+    "chi_energy",
+    "chi_prompt",
+    "chi_delayed",
+    "chi_total",
+    "nu_prompt",
+    "nu_delayed",
+    "nu_total",
+)
+
+
+class HDF5LibraryWriter:
+    def __init__(
+        self,
+        path: str | Path,
+        gs: GroupStructure,
+        order: int,
+        temperatures: list[float],
+        config_json: str = "{}",
+        resume: bool = False,
+    ):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        mode = "a" if (resume and self.path.exists()) else "w"
+        self.f = h5py.File(self.path, mode)
+        if "group_structure" not in self.f:
+            self.f.attrs["format_version"] = LIBRARY_FORMAT_VERSION
+            self.f.attrs["ndpp_tpu_version"] = __version__
+            self.f.attrs["created"] = datetime.datetime.now(datetime.UTC).isoformat()
+            self.f.attrs["legendre_order"] = order
+            self.f.create_dataset("config", data=config_json)
+            g = self.f.create_group("group_structure")
+            g.create_dataset("bounds", data=gs.bounds)
+            g.attrs["name"] = gs.name
+            g.attrs["units"] = "eV"
+            g.attrs["convention"] = "ascending"
+            g.attrs["checksum"] = gs.checksum()
+            self.f.create_dataset("temperatures", data=np.asarray(temperatures, dtype=np.float64))
+            self.f.create_group("nuclides")
+
+    def is_complete(self, name: str) -> bool:
+        grp = self.f.get(f"nuclides/{name}")
+        return bool(grp is not None and grp.attrs.get("complete", 0))
+
+    def write_nuclide(self, res: NuclideResult) -> None:
+        nucs = self.f["nuclides"]
+        if res.name in nucs:
+            del nucs[res.name]
+        g = nucs.create_group(res.name)
+        g.attrs["zaid"] = res.zaid
+        g.attrs["awr"] = res.awr
+        g.attrs["kT_eV"] = res.kT
+        g.attrs["complete"] = 0
+        g.create_dataset("energy", data=res.energy)
+        g.create_dataset("temperatures", data=res.temperatures)
+        g.create_dataset("scatter", data=res.scatter)
+        g.create_dataset("sigma_scatter", data=res.sigma_scatter)
+        for key in _OPTIONAL_SETS:
+            val = getattr(res, key)
+            if val is not None:
+                g.create_dataset(key, data=val)
+        for k, v in res.extra.items():
+            g.create_dataset(f"extra/{k}", data=v)
+        g.attrs["complete"] = 1  # written last: the resume marker
+        self.f.flush()
+
+    def finalize(self, metrics: dict | None = None) -> None:
+        if metrics is not None:
+            if "metrics" in self.f:
+                del self.f["metrics"]
+            self.f.create_dataset("metrics", data=json.dumps(metrics))
+        self.f.close()
+
+
+class AsciiLibraryWriter:
+    """Mirror of the HDF5 content in a fixed, line-oriented text format (docs/format.md)."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        gs: GroupStructure,
+        order: int,
+        temperatures: list[float],
+        config_json: str = "{}",
+        resume: bool = False,
+    ):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.fh = open(self.path, "a" if resume and self.path.exists() else "w")
+        if self.fh.tell() == 0:
+            w = self.fh.write
+            w(f"NDPP-TPU ASCII LIBRARY {LIBRARY_FORMAT_VERSION}\n")
+            w(f"generator ndpp-tpu {__version__}\n")
+            w(f"legendre_order {order}\n")
+            w(f"temperatures {len(temperatures)} " + " ".join(f"{t:.6f}" for t in temperatures) + "\n")
+            w(f"group_structure {gs.name} {gs.ng}\n")
+            self._write_array(gs.bounds)
+
+    def _write_array(self, arr: np.ndarray) -> None:
+        flat = np.asarray(arr).ravel()
+        for i in range(0, flat.size, 4):
+            self.fh.write("".join(f"{v:20.12E}" for v in flat[i : i + 4]) + "\n")
+
+    def is_complete(self, name: str) -> bool:
+        return False  # ASCII stream is append-only; resume bookkeeping lives in the HDF5 twin
+
+    def write_nuclide(self, res: NuclideResult) -> None:
+        w = self.fh.write
+        w(f"nuclide {res.name} zaid {res.zaid} awr {res.awr:.6f} kT_eV {res.kT:.6e}\n")
+        w(f"energy {res.energy.size}\n")
+        self._write_array(res.energy)
+        nt, ne, lp1, ng = res.scatter.shape
+        w(f"scatter {nt} {ne} {lp1} {ng}\n")
+        self._write_array(res.scatter)
+        w(f"sigma_scatter {res.sigma_scatter.size}\n")
+        self._write_array(res.sigma_scatter)
+        for key in _OPTIONAL_SETS:
+            val = getattr(res, key)
+            if val is not None:
+                val = np.asarray(val)
+                w(f"{key} " + " ".join(str(s) for s in val.shape) + "\n")
+                self._write_array(val)
+        w(f"end_nuclide {res.name}\n")
+        self.fh.flush()
+
+    def finalize(self, metrics: dict | None = None) -> None:
+        if metrics is not None:
+            self.fh.write("metrics " + json.dumps(metrics) + "\n")
+        self.fh.write("end_library\n")
+        self.fh.close()
+
+
+def open_writers(cfg, gs: GroupStructure):
+    """Writers selected by config.output.format; HDF5 path also drives resume."""
+    writers = []
+    path = Path(cfg.output.path)
+    if cfg.output.format in ("hdf5", "both"):
+        writers.append(
+            HDF5LibraryWriter(path, gs, cfg.legendre_order, cfg.temperatures, cfg.to_json(), cfg.resume)
+        )
+    if cfg.output.format in ("ascii", "both"):
+        apath = path.with_suffix(".txt") if cfg.output.format == "both" else path
+        writers.append(
+            AsciiLibraryWriter(apath, gs, cfg.legendre_order, cfg.temperatures, cfg.to_json(), cfg.resume)
+        )
+    return writers
+
+
+# --------------------------------------------------------------------------
+# Comparator (SURVEY.md section 3.5: tolerance-aware comparison tool)
+
+
+def compare(path_a: str | Path, path_b: str | Path, rtol: float = 1e-8, atol: float = 0.0) -> dict:
+    """Compare two HDF5 libraries; returns a report dict with per-dataset max errors."""
+    report: dict = {"match": True, "rtol": rtol, "datasets": {}, "missing": []}
+    with h5py.File(path_a, "r") as fa, h5py.File(path_b, "r") as fb:
+
+        def walk(ga, gb, prefix=""):
+            for key in ga:
+                pa = f"{prefix}/{key}"
+                if key not in gb:
+                    report["missing"].append(pa)
+                    report["match"] = False
+                    continue
+                oa, ob = ga[key], gb[key]
+                if isinstance(oa, h5py.Group):
+                    walk(oa, ob, pa)
+                else:
+                    a = oa[()]
+                    b = ob[()]
+                    if isinstance(a, bytes) or (hasattr(a, "dtype") and a.dtype.kind in "SU"):
+                        continue
+                    a = np.asarray(a, dtype=np.float64)
+                    b = np.asarray(b, dtype=np.float64)
+                    if a.shape != b.shape:
+                        report["datasets"][pa] = {"shape_a": list(a.shape), "shape_b": list(b.shape)}
+                        report["match"] = False
+                        continue
+                    denom = np.maximum(np.abs(a), np.abs(b))
+                    err = np.abs(a - b)
+                    rel = np.where(denom > 0, err / np.where(denom > 0, denom, 1.0), 0.0)
+                    max_rel = float(rel.max()) if rel.size else 0.0
+                    max_abs = float(err.max()) if err.size else 0.0
+                    ok = bool(np.all(err <= atol + rtol * denom))
+                    report["datasets"][pa] = {"max_rel": max_rel, "max_abs": max_abs, "ok": ok}
+                    if not ok:
+                        report["match"] = False
+
+        walk(fa, fb)
+    return report

@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
 
@@ -55,8 +56,8 @@ def _interp_rows(knots, pdf, mu):
     return jax.vmap(row)(knots, pdf, mu)
 
 
-@partial(jax.jit, static_argnames=("order", "nq"))
-def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16):
+@partial(jax.jit, static_argnames=("order", "nq", "clamp"))
+def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16, clamp: bool = True):
     """Group-transfer Legendre moments for one two-body reaction.
 
     Args:
@@ -69,6 +70,10 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
       awr:    atomic weight ratio A; scalar.
       order:  max Legendre order L (static).
       nq:     GL points per subinterval (static).
+      clamp:  if True (static), outgoing energies outside the group range
+              collapse into the edge groups (standard multigroup practice:
+              the bottom/top group catch everything past their outer
+              boundary); if False such transfer is dropped.
 
     Returns:
       (T, L+1, G) moments f_{l,g'}(E): the expected value, per scattering
@@ -79,7 +84,11 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
     xq = jnp.asarray(xq, dtype=e.dtype)
     wq = jnp.asarray(wq, dtype=e.dtype)
     ng = bounds.shape[0] - 1
-    ap1 = awr + 1.0
+    # kinematic constants may be scalars or per-row (T,) arrays (multi-nuclide batches)
+    c1 = jnp.broadcast_to(jnp.asarray(c1, dtype=e.dtype), e.shape)
+    c2 = jnp.broadcast_to(jnp.asarray(c2, dtype=e.dtype), e.shape)
+    awr = jnp.broadcast_to(jnp.asarray(awr, dtype=e.dtype), e.shape)
+    ap1 = awr + 1.0  # (T,)
 
     ecm = c2 * (e - c1)  # (T,) outgoing CM energy
     valid_e = ecm > 0.0
@@ -89,11 +98,27 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
     base = ecm + e_safe / ap1**2  # E'_lab = base + slope * mu_cm
     slope = 2.0 * jnp.sqrt(e_safe * ecm) / ap1
 
-    # Group-boundary breakpoints in mu_cm, clipped into [-1, 1]
-    brk = (bounds[None, :] - base[:, None]) / slope[:, None]  # (T, G+1)
+    # Group-boundary breakpoints in mu_cm, clipped into [-1, 1]. Under
+    # clamping the outermost boundaries are pushed to +-inf so the edge
+    # groups swallow out-of-range outgoing energies.
+    if clamp:
+        lo_b = jnp.full((1,), -jnp.inf, dtype=bounds.dtype)
+        hi_b = jnp.full((1,), jnp.inf, dtype=bounds.dtype)
+        eff_bounds = jnp.concatenate([lo_b, bounds[1:-1], hi_b])
+    else:
+        eff_bounds = bounds
+    brk = (eff_bounds[None, :] - base[:, None]) / slope[:, None]  # (T, G+1)
     brk = jnp.clip(brk, -1.0, 1.0)
 
-    edges = jnp.sort(jnp.concatenate([knots, brk], axis=1), axis=1)  # (T, M)
+    # Graded refinement near mu_cm = -1: when E'_lab(-1) ~ 0 (elastic on
+    # A ~ 1, or near-threshold levels), mu_lab(mu_cm) has a sqrt-type
+    # endpoint singularity that defeats fixed-order GL on a wide panel.
+    # A geometric ladder of static split points restores fast convergence
+    # everywhere at the cost of a few extra (harmless) subintervals.
+    graded = jnp.asarray(-1.0 + 2.0 * 0.25 ** np.arange(1, 11), dtype=e.dtype)  # (10,)
+    graded = jnp.broadcast_to(graded, (e.shape[0], graded.shape[0]))
+
+    edges = jnp.sort(jnp.concatenate([knots, brk, graded], axis=1), axis=1)  # (T, M)
     lo = edges[:, :-1]
     hi = edges[:, 1:]
     half = 0.5 * (hi - lo)  # (T, S)
@@ -106,7 +131,7 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
 
     elab_q = base[:, None, None] + slope[:, None, None] * mu_q
     mu_lab = mu_q * jnp.sqrt(ecm)[:, None, None] / jnp.sqrt(elab_q) + (
-        jnp.sqrt(e_safe)[:, None, None] / (ap1 * jnp.sqrt(elab_q))
+        jnp.sqrt(e_safe)[:, None, None] / (ap1[:, None, None] * jnp.sqrt(elab_q))
     )
     # guard rounding: |mu_lab| <= 1
     mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
@@ -118,7 +143,11 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
     # Outgoing group of each subinterval (constant within it, by construction)
     elab_mid = base[:, None] + slope[:, None] * mid  # (T, S)
     gidx = jnp.searchsorted(bounds, elab_mid, side="right") - 1  # (T, S)
-    valid = (half[:, :] > 0.0) & (gidx >= 0) & (gidx < ng) & valid_e[:, None]
+    if clamp:
+        gidx = jnp.clip(gidx, 0, ng - 1)
+        valid = (half[:, :] > 0.0) & valid_e[:, None]
+    else:
+        valid = (half[:, :] > 0.0) & (gidx >= 0) & (gidx < ng) & valid_e[:, None]
     gidx = jnp.clip(gidx, 0, ng - 1)
     m = m * valid[:, None, :]
 

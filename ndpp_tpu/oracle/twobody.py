@@ -25,6 +25,7 @@ def twobody_moments_oracle(
     bounds: np.ndarray,
     order: int,
     renormalize: bool = True,
+    clamp: bool = True,
 ) -> np.ndarray:
     """f_{l,g'}(E) for one two-body reaction at one incident energy: (L+1, G)."""
     a = nuc.awr
@@ -55,7 +56,10 @@ def twobody_moments_oracle(
         elab = base + slope * mu
         return min(1.0, max(-1.0, mu * np.sqrt(ecm / elab) + np.sqrt(e_ev / elab) / ap1))
 
-    brk = np.clip((bounds - base) / slope, -1.0, 1.0)
+    eff_bounds = bounds.astype(np.float64).copy()
+    if clamp:
+        eff_bounds[0], eff_bounds[-1] = -np.inf, np.inf
+    brk = np.clip((eff_bounds - base) / slope, -1.0, 1.0)
     for g in range(ng):
         lo, hi = brk[g], brk[g + 1]
         if hi <= lo:

@@ -1,0 +1,105 @@
+"""End-to-end pipeline tests: fixtures -> run -> library -> compare/resume/quarantine."""
+
+import h5py
+import numpy as np
+import pytest
+
+from ndpp_tpu import config as config_mod
+from ndpp_tpu import driver
+from ndpp_tpu.host.ace import synth
+from ndpp_tpu.host.ace.write import write_ace
+from ndpp_tpu.io.library import compare
+
+
+@pytest.fixture(scope="module")
+def small_library(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fixlib")
+    entries = []
+    for key, n in [("h1", 60), ("o16", 50)]:
+        nuc = synth.ALL_FIXTURES[key](n)
+        p = write_ace(nuc, out / f"{key}.ace")
+        entries.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+    # one nuclide with continuum laws -> quarantined until config 4
+    nuc = synth.build("kalbach")
+    p = write_ace(nuc, out / "kalbach.ace")
+    entries.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+    (out / "xsdir").write_text("directory\n" + "\n".join(entries) + "\n")
+    return out
+
+
+def _cfg(lib, tmp_path, **kw):
+    cfg = config_mod.RunConfig(
+        nuclides=kw.pop("nuclides", ["1001.80c", "8016.80c"]),
+        library=str(lib / "xsdir"),
+        groups="uniform-lethargy-47",
+        legendre_order=2,
+        temperatures=[293.6],
+        **kw,
+    )
+    cfg.output.path = str(tmp_path / "lib.h5")
+    cfg.device.e_tile = 64
+    cfg.validate()
+    return cfg
+
+
+def test_run_end_to_end(small_library, tmp_path):
+    cfg = _cfg(small_library, tmp_path)
+    cfg.output.format = "both"
+    metrics = driver.run(cfg)
+    assert metrics.nuclides_done == 2
+    assert metrics.nuclides_quarantined == 0
+    assert metrics.moments_per_sec > 0
+
+    with h5py.File(cfg.output.path) as f:
+        assert f.attrs["legendre_order"] == 2
+        nucs = f["nuclides"]
+        assert sorted(nucs) == ["1001.80c", "8016.80c"]
+        sc = nucs["1001.80c"]["scatter"][()]
+        assert sc.shape == (1, 60, 3, 47)
+        np.testing.assert_allclose(sc[0, :, 0, :].sum(axis=1), 1.0, rtol=1e-9)
+        assert nucs["1001.80c"].attrs["complete"] == 1
+    # ASCII twin exists and carries the header
+    txt = (tmp_path / "lib.txt").read_text()
+    assert txt.startswith("NDPP-TPU ASCII LIBRARY")
+    assert "nuclide 1001.80c" in txt
+
+
+def test_compare_self_and_detect_diff(small_library, tmp_path):
+    cfg = _cfg(small_library, tmp_path)
+    driver.run(cfg)
+    report = compare(cfg.output.path, cfg.output.path, rtol=1e-12)
+    assert report["match"]
+    # perturb a copy and confirm detection
+    import shutil
+
+    other = tmp_path / "perturbed.h5"
+    shutil.copy(cfg.output.path, other)
+    with h5py.File(other, "a") as f:
+        d = f["nuclides/1001.80c/scatter"]
+        d[0, 0, 0, :] = d[0, 0, 0, :] * (1 + 1e-6)
+    report = compare(cfg.output.path, other, rtol=1e-8)
+    assert not report["match"]
+
+
+def test_resume_skips_complete(small_library, tmp_path):
+    cfg = _cfg(small_library, tmp_path)
+    driver.run(cfg)
+    cfg2 = _cfg(small_library, tmp_path, resume=True)
+    m2 = driver.run(cfg2)
+    assert m2.nuclides_done == 0  # both skipped
+
+
+def test_quarantine_continuum_nuclide(small_library, tmp_path):
+    cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c", "40090.80k"])
+    metrics = driver.run(cfg)
+    assert metrics.nuclides_done == 1
+    assert metrics.nuclides_quarantined == 1
+    with h5py.File(cfg.output.path) as f:
+        assert "40090.80k" not in f["nuclides"]
+
+
+def test_missing_nuclide_quarantined(small_library, tmp_path):
+    cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c", "99999.00c"])
+    metrics = driver.run(cfg)
+    assert metrics.nuclides_done == 1
+    assert metrics.nuclides_quarantined == 1
