@@ -1,20 +1,123 @@
-"""Fission chi collapse driver (config 4, BASELINE.json:10).
+"""Fission chi collapse (config 4, BASELINE.json:10; SURVEY.md section 3.4).
 
-chi_g'(E) = integral over g' of p(E'|E) for the fission MT's secondary-energy
-laws (prompt), plus precursor-group-weighted delayed spectra (SURVEY.md
-section 3.4). Lands with the continuum-law engine; until then fissionable
-nuclides get an explicit, logged gap rather than silent zeros.
+chi_g'(E) = integral over g' of p(E'|E) from the fission MT's law chain
+(prompt), plus precursor-weighted delayed spectra:
+
+    chi_prompt_g(E)  = sum_laws p_law(E) * frac_law(E, g)
+    chi_delayed_g(E) = sum_k P_k(E) * frac_k(E, g)   (P_k from the BDD block)
+    chi_total_g(E)   = [nu_p chi_p + nu_d chi_d] / nu_t
+
+Fission secondary energies are lab-frame in ACE; the energy pdf is collapsed
+directly. nu-bar curves are evaluated on the same incident grid and stored.
 """
 
 from __future__ import annotations
 
-from ndpp_tpu.utils import log as log_mod
+import jax.numpy as jnp
+import numpy as np
 
-_CHI_READY = False
+from ndpp_tpu.host import unionize
+from ndpp_tpu.host.prep_continuum import prepare_continuum
+from ndpp_tpu.ops.chi import analytic_group_fractions, tabular_group_fractions
+from ndpp_tpu.utils import log as log_mod
+from ndpp_tpu.utils.errors import AceFormatError
+
+FISSION_MTS = (18, 19, 20, 21, 38)
+
+
+def _law_fractions(prep, gs, cfg) -> np.ndarray:
+    """(NE, G) group fractions of one law's energy pdf."""
+    ne = prep.e.size
+    bounds = jnp.asarray(gs.bounds)
+    clamp = cfg.clamp_outside
+    out = np.zeros((ne, gs.ng))
+    if prep.kind == "lab-analytic":
+        tile = 4096
+        for start, length in unionize.tile_indices(ne, tile):
+            pad = min(tile, ne)
+            frac = analytic_group_fractions(
+                jnp.asarray(unionize.pad_to(prep.e[start : start + length], pad)),
+                jnp.asarray(unionize.pad_to(prep.extra["theta"][start : start + length], pad)),
+                jnp.asarray(unionize.pad_to(prep.extra["b"][start : start + length], pad)),
+                prep.extra["u"],
+                bounds,
+                prep.extra["law"],
+                clamp,
+            )
+            out[start : start + length] = np.asarray(frac)[:length]
+        return out
+    if prep.e_knots is None:
+        raise AceFormatError(f"chi: unsupported spectrum kind {prep.kind!r}")
+    tile = 1024
+    k16 = -(-prep.e_knots.shape[1] // 16) * 16
+    kn = unionize.pad_to(prep.e_knots, k16, axis=1)
+    pd = unionize.pad_to(prep.pdf, k16, axis=1)
+    for start, length in unionize.tile_indices(ne, tile):
+        pad = min(tile, ne)
+        frac = tabular_group_fractions(
+            jnp.asarray(unionize.pad_to(kn[start : start + length], pad)),
+            jnp.asarray(unionize.pad_to(pd[start : start + length], pad)),
+            bounds,
+            clamp,
+        )
+        out[start : start + length] = np.asarray(frac)[:length]
+    return out
 
 
 def chi_collapse(res, nuc, gs, cfg, metrics=None) -> None:
-    if not _CHI_READY:
-        log_mod.get().warning("chi collapse not yet wired: %s written without chi datasets", nuc.name)
+    """Fill res.chi_* / res.nu_* in place."""
+    log = log_mod.get()
+    fission = None
+    for mt in FISSION_MTS:
+        if mt in nuc.reactions:
+            fission = nuc.reactions[mt]
+            break
+    if fission is None or not fission.energy_dists:
+        log.warning("chi: %s is fissionable but has no usable fission spectrum", nuc.name)
         return
-    raise AssertionError("unreachable")
+
+    e_grid = res.energy
+    ng = gs.ng
+
+    prompt = np.zeros((e_grid.size, ng))
+    for ed in fission.energy_dists:
+        prep = prepare_continuum(nuc, fission, ed, e_grid, order=0)
+        if metrics is not None and prep.padded_elements:
+            metrics.record_padding(prep.real_elements, prep.padded_elements)
+        prompt += prep.applicability[:, None] * _law_fractions(prep, gs, cfg)
+
+    delayed = None
+    if nuc.precursors and nuc.delayed_spectra:
+        delayed = np.zeros((e_grid.size, ng))
+        for prec, spec in zip(nuc.precursors, nuc.delayed_spectra):
+            prep = prepare_continuum(nuc, fission, spec, e_grid, order=0)
+            pk = np.clip(prec.probability(e_grid), 0.0, None)
+            delayed += pk[:, None] * prep.applicability[:, None] * _law_fractions(prep, gs, cfg)
+        # normalize delayed fractions if precursor probabilities don't sum to 1
+        psum = np.sum([np.clip(p.probability(e_grid), 0.0, None) for p in nuc.precursors], axis=0)
+        with np.errstate(invalid="ignore"):
+            delayed = np.where(psum[:, None] > 0, delayed / np.where(psum[:, None] > 0, psum[:, None], 1.0), 0.0)
+
+    nu_t = nuc.nu_total(e_grid) if nuc.nu_total is not None else None
+    nu_d = nuc.nu_delayed(e_grid) if nuc.nu_delayed is not None else None
+    nu_p = nuc.nu_prompt(e_grid) if nuc.nu_prompt is not None else None
+    if nu_p is None and nu_t is not None and nu_d is not None:
+        nu_p = nu_t - nu_d
+    if nu_t is None and nu_p is not None:
+        nu_t = nu_p + (nu_d if nu_d is not None else 0.0)
+
+    res.chi_energy = e_grid
+    res.chi_prompt = prompt
+    if delayed is not None:
+        res.chi_delayed = delayed
+    if nu_p is not None:
+        res.nu_prompt = nu_p
+    if nu_d is not None:
+        res.nu_delayed = nu_d
+    if nu_t is not None:
+        res.nu_total = nu_t
+    if delayed is not None and nu_p is not None and nu_d is not None and nu_t is not None:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            res.chi_total = (nu_p[:, None] * prompt + nu_d[:, None] * delayed) / nu_t[:, None]
+    else:
+        res.chi_total = prompt

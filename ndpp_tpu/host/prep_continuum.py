@@ -1,0 +1,437 @@
+"""Host batching for continuum secondary-energy laws (configs 4; SURVEY.md 3.4).
+
+Normalizes every ACE continuum law to one of a few device layouts:
+
+  'lab-tabular'   piecewise-linear p(E'|E) rows + per-knot exact Legendre
+                  moment rows M_l (lab frame: angle decouples or is
+                  correlated-but-lab; kernel: ops.continuum.lab_tabular)
+  'cm-kalbach'    p(E'_cm|E) rows + Kalbach (r, a) rows (ops.continuum.cm)
+  'cm-tabular'    p(E'_cm|E) rows + angular pdf tensor on a shared mu-knot
+                  union (law 61 CM / law 4 CM with AND angles)
+  'cm-nbody'      analytic N-body phase-space pdf (law 66), isotropic CM
+
+Unit-base interpolation between bracketing incident tables follows ACE
+practice: supports interpolate linearly, pdfs combine with span-Jacobians so
+normalization is preserved exactly; Kalbach r/a and tabulated angles
+interpolate linearly in the unit-base variable (reference semantics
+unverifiable with the mount empty — choice documented, SURVEY.md section 0).
+
+Rows bracketed by the same incident panel share one knot union (the same
+panel trick as host.prep for angles).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ndpp_tpu.host import interp as interp_mod
+from ndpp_tpu.host.ace.records import (
+    AngularTable,
+    ContinuousTable,
+    EnergyDistribution,
+    LawData,
+    Nuclide,
+    Reaction,
+)
+from ndpp_tpu.host.angular_moments import kalbach_moments, linlin_moments
+from ndpp_tpu.host.prep import _pad_rows, linlin_rep, merge_linlin
+from ndpp_tpu.utils.errors import AceFormatError
+
+
+@dataclass
+class ContinuumPrepared:
+    kind: str  # 'lab-tabular' | 'cm-kalbach' | 'cm-tabular' | 'cm-nbody'
+    e: np.ndarray  # (NE,)
+    applicability: np.ndarray  # (NE,) law probability p(E)
+    e_knots: np.ndarray | None = None  # (NE, KE) outgoing-energy knots (eV)
+    pdf: np.ndarray | None = None  # (NE, KE) 1/eV
+    mom_knots: np.ndarray | None = None  # (NE, KE, L+1) lab path
+    r_rows: np.ndarray | None = None  # (NE, KE) kalbach
+    a_rows: np.ndarray | None = None  # (NE, KE)
+    mu_knots: np.ndarray | None = None  # (KMU,) shared union for cm-tabular
+    mu_pdf: np.ndarray | None = None  # (NE, KE, KMU)
+    nbody_emax: np.ndarray | None = None  # (NE,)
+    nbody_expo: float | None = None  # (3*npsx/2 - 4)
+    real_elements: int = 0
+    padded_elements: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+# --------------------------------------------------------------------------
+# generic tabular (laws 4 / 44 / 61) unit-base machinery
+
+
+def _table_linlin(t: ContinuousTable) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray]]:
+    """(e_out, pdf, aux-arrays) in piecewise-linear form (histogram doubled)."""
+    if t.nd:
+        raise AceFormatError("discrete secondary-energy lines (ND > 0) unsupported")
+    aux: dict[str, np.ndarray] = {}
+    if t.intt == 2:
+        x, y = t.e_out.astype(np.float64), t.pdf.astype(np.float64)
+        if t.r is not None:
+            aux["r"], aux["a"] = t.r.astype(np.float64), t.a.astype(np.float64)
+        return x, y, aux
+    if t.intt != 1:
+        raise AceFormatError(f"secondary-energy INTT={t.intt} unsupported")
+    x, p = t.e_out, t.pdf
+    n = x.size
+    xs = np.empty(2 * (n - 1))
+    ys = np.empty(2 * (n - 1))
+    xs[0::2], xs[1::2] = x[:-1], x[1:]
+    ys[0::2] = p[:-1]
+    ys[1::2] = p[:-1]
+    if t.r is not None:
+        for name, arr in (("r", t.r), ("a", t.a)):
+            vs = np.empty(2 * (n - 1))
+            vs[0::2], vs[1::2] = arr[:-1], arr[:-1]
+            aux[name] = vs
+    return xs, ys, aux
+
+
+def _xi(x: np.ndarray) -> np.ndarray:
+    span = x[-1] - x[0]
+    if span <= 0:
+        raise AceFormatError("secondary-energy table has zero support")
+    return (x - x[0]) / span
+
+
+def _interp_on_xi(x_src_xi, y_src, xi_query, left_right="right"):
+    """Piecewise-linear evaluation on possibly-duplicated xi knots."""
+    from ndpp_tpu.host.prep import _eval_limit
+
+    return _eval_limit(x_src_xi, y_src, xi_query, left_right)
+
+
+def tabular_rows(
+    data: LawData, e_grid: np.ndarray, aux_names: tuple[str, ...] = ()
+) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray], list[np.ndarray]]:
+    """Unit-base rows for a law 4/44/61 table on the incident grid.
+
+    Returns (e_knots (NE,K), pdf (NE,K), aux rows dict, xi_rows list) padded.
+    """
+    es = data.energies
+    tables = data.tables
+    reps = [_table_linlin(t) for t in tables]
+    rows_x: list[np.ndarray] = []
+    rows_y: list[np.ndarray] = []
+    rows_aux: dict[str, list[np.ndarray]] = {n: [] for n in aux_names}
+    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
+    hist_incident = np.isscalar(data.int_law) and int(data.int_law) == interp_mod.HISTOGRAM
+    for p in np.unique(panel_of):
+        sel = np.where(panel_of == p)[0]
+        if es.size == 1:
+            x, y, aux = reps[0]
+            for _ in sel:
+                rows_x.append(x)
+                rows_y.append(y)
+                for n in aux_names:
+                    rows_aux[n].append(aux.get(n, np.zeros_like(x)))
+            continue
+        x1, y1, aux1 = reps[p]
+        x2, y2, aux2 = reps[p + 1]
+        xi1, xi2 = _xi(x1), _xi(x2)
+        span1 = x1[-1] - x1[0]
+        span2 = x2[-1] - x2[0]
+        # union xi knots preserving jumps of either table
+        xi_u, y1_u, y2_u = merge_linlin(xi1, y1, xi2, y2)
+        aux_u = {}
+        for n in aux_names:
+            a1 = aux1.get(n, np.zeros_like(x1))
+            a2 = aux2.get(n, np.zeros_like(x2))
+            first_copy = np.ones(xi_u.size, dtype=bool)
+            first_copy[1:] = xi_u[1:] != xi_u[:-1]
+            v1 = np.where(first_copy, _interp_on_xi(xi1, a1, xi_u, "left"), _interp_on_xi(xi1, a1, xi_u, "right"))
+            v2 = np.where(first_copy, _interp_on_xi(xi2, a2, xi_u, "left"), _interp_on_xi(xi2, a2, xi_u, "right"))
+            aux_u[n] = (v1, v2)
+        for i in sel:
+            e = e_grid[i]
+            t = 0.0 if hist_incident else float(np.clip((e - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
+            lo = x1[0] + t * (x2[0] - x1[0])
+            hi = x1[-1] + t * (x2[-1] - x1[-1])
+            span = hi - lo
+            rows_x.append(lo + xi_u * span)
+            rows_y.append(((1.0 - t) * y1_u * span1 + t * y2_u * span2) / span)
+            for n in aux_names:
+                v1, v2 = aux_u[n]
+                rows_aux[n].append((1.0 - t) * v1 + t * v2)
+    k_max = max(x.size for x in rows_x)
+    e_knots, pdf, real = _pad_rows(list(zip(rows_x, rows_y)), k_max)
+    aux_out = {}
+    for n in aux_names:
+        _, av, _ = _pad_rows(list(zip(rows_x, rows_aux[n])), k_max)
+        aux_out[n] = av
+    return e_knots, pdf, aux_out, rows_x
+
+
+# --------------------------------------------------------------------------
+# law conversions -> ContinuousTable form
+
+
+def _law1_as_tables(data: LawData) -> LawData:
+    """Law 1 equiprobable E' bins -> histogram ContinuousTables."""
+    tables = []
+    for row in data.e_out_bins:
+        widths = np.diff(row)
+        if np.any(widths <= 0):
+            raise AceFormatError("law 1: non-increasing equiprobable bin bounds")
+        nb = row.size - 1
+        pdf = np.concatenate([(1.0 / nb) / widths, [0.0]])
+        cdf = np.linspace(0.0, 1.0, nb + 1)
+        tables.append(ContinuousTable(intt=1, nd=0, e_out=row, pdf=pdf, cdf=cdf))
+    return LawData(law=4, energies=data.energies, nbt=data.nbt, int_law=data.int_law, tables=tables)
+
+
+def _law5_as_tables(data: LawData) -> LawData:
+    """Law 5 general evaporation: E' = X(xi) * theta(E); X equiprobable."""
+    x = np.asarray(data.x_grid, dtype=np.float64)
+    if np.any(np.diff(x) <= 0):
+        raise AceFormatError("law 5: X table must be increasing")
+    energies = data.theta.x
+    tables = []
+    nb = x.size - 1
+    for e in energies:
+        th = float(data.theta(e))
+        eo = x * th
+        widths = np.diff(eo)
+        pdf = np.concatenate([(1.0 / nb) / widths, [0.0]])
+        tables.append(ContinuousTable(intt=1, nd=0, e_out=eo, pdf=pdf, cdf=np.linspace(0, 1, nb + 1)))
+    return LawData(law=4, energies=energies, tables=tables)
+
+
+# --------------------------------------------------------------------------
+# angular payloads
+
+
+def _and_moment_rows(rxn: Reaction, e_grid: np.ndarray, order: int, k: int) -> np.ndarray:
+    """Exact lab angular moments A_l(E) broadcast over the knot axis: (NE, K, L+1)."""
+    from ndpp_tpu.host.prep import pdf_at_energy
+
+    ne = e_grid.size
+    out = np.empty((ne, order + 1))
+    if rxn.angular is None:
+        out[:] = 0.0
+        out[:, 0] = 1.0
+    else:
+        for i, e in enumerate(e_grid):
+            x, y = pdf_at_energy(rxn.angular, float(e))
+            norm = np.sum(0.5 * (y[1:] + y[:-1]) * np.diff(x))
+            out[i] = linlin_moments(x, y / norm, order)
+    return np.broadcast_to(out[:, None, :], (ne, k, order + 1)).copy()
+
+
+def _law61_lab_moment_rows(
+    data: LawData, e_grid: np.ndarray, xi_rows: list[np.ndarray], order: int
+) -> np.ndarray:
+    """Per-knot exact lab moments for law 61: M_l at each (row, xi-knot)."""
+    es = data.energies
+    # per-table, per-knot moments (exact)
+    tab_moms = []
+    tab_xis = []
+    for t in data.tables:
+        x, _, _ = _table_linlin(t)
+        xi = _xi(x)
+        ang = t.angular or [None] * t.e_out.size
+        # moments at the ORIGINAL table knots (before histogram doubling)
+        src_xi = _xi(t.e_out.astype(np.float64))
+        moms = np.empty((t.e_out.size, order + 1))
+        for j, at in enumerate(ang):
+            if at is None:
+                moms[j] = 0.0
+                moms[j, 0] = 1.0
+            else:
+                xx, yy = linlin_rep(at)
+                norm = np.sum(0.5 * (yy[1:] + yy[:-1]) * np.diff(xx))
+                moms[j] = linlin_moments(xx, yy / norm, order)
+        tab_moms.append((src_xi, moms))
+        tab_xis.append(xi)
+    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
+    k_max = max(x.size for x in xi_rows)
+    ne = e_grid.size
+    out = np.zeros((ne, k_max, order + 1))
+    for i in range(ne):
+        p = panel_of[i] if es.size > 1 else 0
+        row_x = xi_rows[i]
+        xi_row = _xi(row_x)
+        if es.size == 1:
+            src_xi, moms = tab_moms[0]
+            for l in range(order + 1):
+                out[i, : xi_row.size, l] = np.interp(xi_row, src_xi, moms[:, l])
+        else:
+            t = float(np.clip((e_grid[i] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
+            for l in range(order + 1):
+                v1 = np.interp(xi_row, tab_moms[p][0], tab_moms[p][1][:, l])
+                v2 = np.interp(xi_row, tab_moms[p + 1][0], tab_moms[p + 1][1][:, l])
+                out[i, : xi_row.size, l] = (1.0 - t) * v1 + t * v2
+        out[i, xi_row.size :, :] = out[i, xi_row.size - 1, :]
+    return out
+
+
+def _law61_cm_mu_payload(
+    data: LawData, e_grid: np.ndarray, xi_rows: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mu_knots (KMU,), mu_pdf (NE, K, KMU)) for CM law 61: angular pdf on a global mu union."""
+    # global mu union over all tables (piecewise-linear reps)
+    all_knots = [np.array([-1.0, 1.0])]
+    for t in data.tables:
+        for at in t.angular or []:
+            if at is not None:
+                x, _ = linlin_rep(at)
+                all_knots.append(x)
+    mu_u = np.unique(np.concatenate(all_knots))
+    kmu = mu_u.size
+
+    es = data.energies
+
+    def table_mu_pdf(t: ContinuousTable) -> tuple[np.ndarray, np.ndarray]:
+        """(src_xi (NPo,), pdf (NPo, KMU)) at original knots."""
+        src_xi = _xi(t.e_out.astype(np.float64))
+        ang = t.angular or [None] * t.e_out.size
+        vals = np.empty((len(ang), kmu))
+        for j, at in enumerate(ang):
+            if at is None:
+                vals[j] = 0.5
+            else:
+                x, y = linlin_rep(at)
+                norm = np.sum(0.5 * (y[1:] + y[:-1]) * np.diff(x))
+                vals[j] = np.interp(mu_u, x, y / norm)
+        return src_xi, vals
+
+    tab_payload = [table_mu_pdf(t) for t in data.tables]
+    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
+    ne = e_grid.size
+    k_max = max(x.size for x in xi_rows)
+    out = np.zeros((ne, k_max, kmu))
+
+    def interp_rows(src_xi, vals, xi_row):
+        res = np.empty((xi_row.size, kmu))
+        for m in range(kmu):
+            res[:, m] = np.interp(xi_row, src_xi, vals[:, m])
+        return res
+
+    for i in range(ne):
+        xi_row = _xi(xi_rows[i])
+        if es.size == 1:
+            res = interp_rows(*tab_payload[0], xi_row)
+        else:
+            p = panel_of[i]
+            t = float(np.clip((e_grid[i] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
+            res = (1.0 - t) * interp_rows(*tab_payload[p], xi_row) + t * interp_rows(
+                *tab_payload[p + 1], xi_row
+            )
+        out[i, : xi_row.size] = res
+        out[i, xi_row.size :] = res[-1]
+    return mu_u, out
+
+
+# --------------------------------------------------------------------------
+# entry point
+
+
+def _nbody_emax(nuc: Nuclide, rxn: Reaction, ap: float, e_grid: np.ndarray) -> np.ndarray:
+    """Law 66 maximum CM outgoing energy: Emax = (Ap-1)/Ap * (A/(A+1) E + Q)."""
+    a = nuc.awr
+    return (ap - 1.0) / ap * (a / (a + 1.0) * e_grid + rxn.q)
+
+
+def prepare_continuum(
+    nuc: Nuclide, rxn: Reaction, ed: EnergyDistribution, e_grid: np.ndarray, order: int
+) -> ContinuumPrepared:
+    """Bake one law of one reaction into a device-ready ContinuumPrepared."""
+    law = ed.law
+    data = ed.data
+    applic = np.clip(ed.applicability(e_grid), 0.0, 1.0)
+    frame = rxn.frame
+
+    if law in (7, 9, 11):
+        # analytic spectra, isotropic lab: handled by ops.chi closed forms
+        theta = (data.theta(e_grid) if data.theta is not None else data.a_tab(e_grid))
+        b = data.b_tab(e_grid) if data.b_tab is not None else np.zeros_like(e_grid)
+        return ContinuumPrepared(
+            kind="lab-analytic",
+            e=e_grid,
+            applicability=applic,
+            extra={"law": law, "theta": theta, "b": b, "u": float(data.restriction_u or 0.0)},
+        )
+
+    if law == 66:
+        if frame != "cm":
+            raise AceFormatError("law 66 in lab frame unsupported")
+        emax = _nbody_emax(nuc, rxn, float(data.ap), e_grid)
+        return ContinuumPrepared(
+            kind="cm-nbody",
+            e=e_grid,
+            applicability=applic,
+            nbody_emax=np.maximum(emax, 0.0),
+            nbody_expo=1.5 * data.npsx - 4.0,
+        )
+
+    if law == 1:
+        data = _law1_as_tables(data)
+        law = 4
+    elif law == 5:
+        data = _law5_as_tables(data)
+        law = 4
+    if law not in (4, 44, 61):
+        raise AceFormatError(f"continuum law {law} unsupported by the moment engine")
+
+    aux_names = ("r", "a") if law == 44 else ()
+    e_knots, pdf, aux, xi_rows = tabular_rows(data, e_grid, aux_names)
+    real = sum(x.size for x in xi_rows)
+    prep = ContinuumPrepared(
+        kind="",
+        e=e_grid,
+        applicability=applic,
+        e_knots=e_knots,
+        pdf=pdf,
+        real_elements=real,
+        padded_elements=e_knots.size,
+    )
+
+    if law == 44:
+        if frame == "cm":
+            prep.kind = "cm-kalbach"
+            prep.r_rows = aux["r"]
+            prep.a_rows = np.maximum(aux["a"], 1e-12)
+        else:
+            # lab Kalbach: mu_lab = mu, so per-knot moments are analytic
+            prep.kind = "lab-tabular"
+            prep.mom_knots = kalbach_moments(aux["r"], np.maximum(aux["a"], 1e-12), order)
+    elif law == 61:
+        if frame == "cm":
+            prep.kind = "cm-tabular"
+            prep.mu_knots, prep.mu_pdf = _law61_cm_mu_payload(data, e_grid, xi_rows)
+        else:
+            prep.kind = "lab-tabular"
+            prep.mom_knots = _law61_lab_moment_rows(data, e_grid, xi_rows, order)
+    else:  # law 4: separable angular from the AND block (or isotropic)
+        if frame == "cm":
+            prep.kind = "cm-tabular"
+            mu_u, mu_pdf = _and_payload_cm(rxn, e_grid, e_knots.shape[1])
+            prep.mu_knots, prep.mu_pdf = mu_u, mu_pdf
+        else:
+            prep.kind = "lab-tabular"
+            prep.mom_knots = _and_moment_rows(rxn, e_grid, order, e_knots.shape[1])
+    return prep
+
+
+def _and_payload_cm(rxn: Reaction, e_grid: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """CM angular pdf tensor from the AND block (independent of E'): (KMU,), (NE, K, KMU)."""
+    from ndpp_tpu.host.prep import pdf_at_energy
+
+    ne = e_grid.size
+    if rxn.angular is None:
+        mu_u = np.array([-1.0, 1.0])
+        return mu_u, np.full((ne, k, 2), 0.5)
+    all_knots = []
+    for t in rxn.angular.tables:
+        x, _ = linlin_rep(t)
+        all_knots.append(x)
+    mu_u = np.unique(np.concatenate(all_knots))
+    out = np.empty((ne, k, mu_u.size))
+    for i, e in enumerate(e_grid):
+        x, y = pdf_at_energy(rxn.angular, float(e))
+        norm = np.sum(0.5 * (y[1:] + y[:-1]) * np.diff(x))
+        out[i, :, :] = np.interp(mu_u, x, y / norm)[None, :]
+    return mu_u, out

@@ -1,0 +1,73 @@
+"""Continuum-law moment kernels vs adaptive oracles (config 4; SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from ndpp_tpu import config as config_mod
+from ndpp_tpu import groups
+from ndpp_tpu.continuum_driver import continuum_reaction_moments
+from ndpp_tpu.host.ace import synth
+from ndpp_tpu.host.prep_continuum import prepare_continuum
+from ndpp_tpu.oracle.continuum import cm_moments_oracle, lab_tabular_moments_oracle
+
+# Coarse structure keeps the nested-quad oracle affordable; kernel accuracy
+# is group-structure independent (same code path).
+G12 = groups.uniform_lethargy("ul-12", 12, 1.0, 2.0e7)
+CFG = config_mod.RunConfig(legendre_order=3, groups="uniform-lethargy-47")
+CFG.device.quad_points = 16
+
+
+def _driver_moments(nuc, rxn, e_sel, gs, order):
+    return continuum_reaction_moments(nuc, rxn, e_sel, gs, order, CFG)
+
+
+def test_kalbach_cm_vs_oracle():
+    nuc = synth.build("kalbach")
+    rxn = nuc.reactions[91]
+    e_sel = np.array([5e6, 1.5e7])
+    dev = _driver_moments(nuc, rxn, e_sel, G12, order=3)
+    ed = rxn.energy_dists[0]
+    prep = prepare_continuum(nuc, rxn, ed, e_sel, 3)
+    assert prep.kind == "cm-kalbach"
+    for i in range(e_sel.size):
+        ora = cm_moments_oracle(prep, i, float(e_sel[i]), nuc.awr, G12.bounds, 3)
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev[i], ora, rtol=3e-8, atol=3e-8 * scale, err_msg=f"E={e_sel[i]}")
+
+
+def test_law61_lab_vs_oracle():
+    nuc = synth.build("law61")
+    rxn = nuc.reactions[22]
+    e_sel = np.array([6e6, 1.8e7])
+    dev = _driver_moments(nuc, rxn, e_sel, G12, order=3)
+    prep = prepare_continuum(nuc, rxn, rxn.energy_dists[0], e_sel, 3)
+    assert prep.kind == "lab-tabular"
+    for i in range(e_sel.size):
+        ora = lab_tabular_moments_oracle(prep, i, G12.bounds, 3)
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev[i], ora, rtol=1e-8, atol=1e-8 * scale, err_msg=f"E={e_sel[i]}")
+
+
+def test_nbody_cm_vs_oracle():
+    nuc = synth.build("nbody")
+    rxn = nuc.reactions[16]
+    e_sel = np.array([8e6, 1.6e7])
+    dev = _driver_moments(nuc, rxn, e_sel, G12, order=2)
+    prep = prepare_continuum(nuc, rxn, rxn.energy_dists[0], e_sel, 2)
+    assert prep.kind == "cm-nbody"
+    for i in range(e_sel.size):
+        ora = cm_moments_oracle(prep, i, float(e_sel[i]), nuc.awr, G12.bounds, 2)
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev[i], ora, rtol=3e-8, atol=3e-8 * scale, err_msg=f"E={e_sel[i]}")
+
+
+def test_normalization_properties():
+    """f0 rows sum to 1 above threshold for normalized pdfs (clamped bins)."""
+    for fixture, mt in [("kalbach", 91), ("law61", 22), ("nbody", 16)]:
+        nuc = synth.build(fixture)
+        rxn = nuc.reactions[mt]
+        thresh = nuc.energy[rxn.threshold_idx]
+        e_sel = np.exp(np.linspace(np.log(thresh * 1.2), np.log(1.9e7), 10))
+        dev = _driver_moments(nuc, rxn, e_sel, G12, order=2)
+        np.testing.assert_allclose(dev[:, 0, :].sum(axis=1), 1.0, rtol=1e-8, err_msg=fixture)
+        assert np.all(np.abs(dev[:, 1:, :].sum(axis=2)) <= dev[:, 0, :].sum(axis=1)[:, None] + 1e-10)

@@ -19,10 +19,12 @@ def small_library(tmp_path_factory):
         nuc = synth.ALL_FIXTURES[key](n)
         p = write_ace(nuc, out / f"{key}.ace")
         entries.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
-    # one nuclide with continuum laws -> quarantined until config 4
+    # a truncated ACE file exercises the quarantine path
     nuc = synth.build("kalbach")
     p = write_ace(nuc, out / "kalbach.ace")
-    entries.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+    text = p.read_text()
+    (out / "broken.ace").write_text(text[: len(text) // 2])
+    entries.append(f"{nuc.name} {nuc.awr:.6f} broken.ace 0 1 1 0")
     (out / "xsdir").write_text("directory\n" + "\n".join(entries) + "\n")
     return out
 
@@ -89,11 +91,11 @@ def test_resume_skips_complete(small_library, tmp_path):
     assert m2.nuclides_done == 0  # both skipped
 
 
-def test_quarantine_continuum_nuclide(small_library, tmp_path):
+def test_quarantine_malformed_nuclide(small_library, tmp_path):
     cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c", "40090.80k"])
     metrics = driver.run(cfg)
     assert metrics.nuclides_done == 1
-    assert metrics.nuclides_quarantined == 1
+    assert metrics.nuclides_quarantined == 1  # broken.ace is truncated
     with h5py.File(cfg.output.path) as f:
         assert "40090.80k" not in f["nuclides"]
 
