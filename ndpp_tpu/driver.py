@@ -186,14 +186,33 @@ def run(cfg: RunConfig) -> RunMetrics:
 
     writers = open_writers(cfg, gs)
     quarantined: list[tuple[str, str]] = []
+
+    # 3-stage pipeline (SURVEY.md section 2 'Pipeline'): host ACE parsing is
+    # prefetched on a worker thread while the device computes the previous
+    # nuclide; writes happen on the main thread (single writer per file).
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        n for n in names if not (cfg.resume and any(w.is_complete(n) for w in writers))
+    ]
+    for skipped in set(names) - set(todo):
+        log.info("resume: skipping %s (complete)", skipped)
+
+    def _parse(name: str):
+        return read_ace(idx.path_for(name), name_hint=name)
+
+    pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="ndpp-parse")
+    futures = {}
+    prefetch_depth = 2
     try:
-        for name in names:
-            if cfg.resume and any(w.is_complete(name) for w in writers):
-                log.info("resume: skipping %s (complete)", name)
-                continue
+        for i, name in enumerate(todo):
+            for j in range(i, min(i + prefetch_depth, len(todo))):
+                nm = todo[j]
+                if nm not in futures:
+                    futures[nm] = pool.submit(_parse, nm)
             try:
                 with timers.span("parse"):
-                    nuc = read_ace(idx.path_for(name), name_hint=name)
+                    nuc = futures.pop(name).result()
                 with timers.span("compute"):
                     res = process_nuclide(nuc, gs, cfg, metrics)
                 with timers.span("write"):
@@ -207,6 +226,7 @@ def run(cfg: RunConfig) -> RunMetrics:
                 metrics.nuclides_quarantined += 1
                 log.error("quarantined %s: %s", name, e)
     finally:
+        pool.shutdown(wait=False, cancel_futures=True)
         metrics.wall_seconds = time.perf_counter() - t0
         metrics.phase_seconds = timers.report()
         metrics.capture_device_mem()

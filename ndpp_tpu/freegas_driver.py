@@ -1,26 +1,88 @@
 """Free-gas thermal replacement driver (config 3, BASELINE.json:9).
 
-Below the thermal cutoff (cfg.thermal_cutoff_kt * kT), the 0K elastic
-transfer moments are replaced by target-in-motion free-gas moments with
-up-scatter (SURVEY.md section 3.3). Kernel lands with config 3; until then
-this is an explicit, logged no-op so 0K results are never silently wrong.
+Below the thermal cutoff (cfg.thermal_cutoff_kt * kT, conventionally 400 kT;
+SURVEY.md section 3.3), the 0K elastic transfer moments are replaced by
+target-in-motion free-gas moments with up-scatter, per temperature:
+
+    scatter[T, rows] += w_el(rows) * (f_freegas(rows, T) - f_elastic_0K(rows))
+
+with w_el the elastic share of the scattering weight. Cross-section WEIGHTS
+keep the ACE table values (the table is already at its base temperature);
+full sigma Doppler broadening across temperatures is out of scope for the
+kernel-shape replacement and documented in docs/design.md.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ndpp_tpu.config import BOLTZMANN_EV_PER_K
+from ndpp_tpu.ops.freegas import freegas_moments
 from ndpp_tpu.utils import log as log_mod
-
-_FREEGAS_READY = False
 
 
 def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics=None) -> np.ndarray:
-    if not _FREEGAS_READY:
-        log_mod.get().warning(
-            "free-gas kernel not yet wired: %s keeps 0K elastic moments at all %d temperature(s)",
-            nuc.name,
-            len(cfg.temperatures),
-        )
+    """scatter: (NT, NE, L+1, G) 0K combined moments; returns the corrected array."""
+    import jax.numpy as jnp
+
+    from ndpp_tpu import driver as driver_mod
+
+    log = log_mod.get()
+    if cfg.freegas_for and nuc.name not in cfg.freegas_for:
         return scatter
-    raise AssertionError("unreachable")
+    order = scatter.shape[2] - 1
+
+    # elastic weight on the grid (same weighting convention as the 0K combine)
+    rxns = nuc.scattering_reactions(include_fission=False)
+    sigma_el = nuc.sigma_el
+    if not np.array_equal(e_grid, nuc.energy):
+        sigma_el = np.interp(e_grid, nuc.energy, sigma_el)
+    sigma_s = np.zeros_like(e_grid)
+    for rxn in rxns:
+        sig = nuc.sigma_on_grid(rxn)
+        if not np.array_equal(e_grid, nuc.energy):
+            sig = np.interp(e_grid, nuc.energy, sig)
+        sigma_s += sig
+    w_el = np.where(sigma_s > 0, sigma_el / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
+
+    from ndpp_tpu.host import unionize
+
+    for k, temp_k in enumerate(cfg.temperatures):
+        kt = BOLTZMANN_EV_PER_K * temp_k
+        cutoff = cfg.thermal_cutoff_kt * kt
+        n_rows = int(np.searchsorted(e_grid, cutoff))
+        if n_rows == 0:
+            continue
+        rows = slice(0, n_rows)
+        # Group WINDOW: the free-gas kernel's cost scales with the number of
+        # boundaries it inserts exact breakpoints for; only groups reachable
+        # from thermal energies matter. E'_max ~ (v + 2 gamma (v + 8/beta))^2.
+        gamma = nuc.awr / (nuc.awr + 1.0)
+        beta = np.sqrt(nuc.awr / kt)
+        vmax = np.sqrt(cutoff)
+        e_reach = 1.5 * (vmax + 2.0 * gamma * (vmax + 8.0 / beta)) ** 2
+        w = int(np.clip(np.searchsorted(gs.bounds, e_reach), 1, gs.ng))
+        bounds_w = jnp.asarray(gs.bounds[: w + 1])
+
+        # modest thermal tiles: the kernel's scan program is large
+        tile = driver_mod._pow2_at_most(n_rows, 64)
+        ffg = np.zeros((n_rows, order + 1, gs.ng))
+        for start, length in unionize.tile_indices(n_rows, tile):
+            e_t = unionize.pad_to(e_grid[start : start + length], tile)
+            part = np.asarray(
+                freegas_moments(jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside)
+            )[:length]
+            ffg[start : start + length, :, :w] = part
+
+        # 0K elastic moments on the same rows (shape-consistent subtraction)
+        f0k = driver_mod._tiled_twobody(
+            nuc, nuc.elastic, e_grid[rows], gs.bounds, order, cfg.device.quad_points, tile, None, cfg.clamp_outside
+        )
+        scatter[k, rows] = scatter[k, rows] + w_el[rows, None, None] * (ffg - f0k)
+        if metrics is not None:
+            metrics.moments_computed += ffg.size
+        log.debug(
+            "free-gas: %s T=%.1fK replaced %d rows below %.3g eV (window %d/%d groups)",
+            nuc.name, temp_k, n_rows, cutoff, w, gs.ng,
+        )
+    return scatter

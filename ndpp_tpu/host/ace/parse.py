@@ -252,7 +252,9 @@ def _parse_ascii(text: str, name_hint: str | None = None) -> Nuclide:
     jxs_tokens = "".join(lines[izaw_end + 2 : izaw_end + 6])
     jxs = np.array([int(jxs_tokens[i : i + 9]) for i in range(0, 32 * 9, 9)], dtype=np.int64)
     xss_text = "\n".join(lines[izaw_end + 6 :])
-    xss = np.array(xss_text.split(), dtype=np.float64)
+    from ndpp_tpu import native
+
+    xss = native.tokenize_floats(xss_text)
     if xss.size < nxs[0]:
         raise AceFormatError(f"XSS truncated: have {xss.size}, NXS(1)={nxs[0]}")
     xss = xss[: nxs[0]]

@@ -176,7 +176,11 @@ def prepare_twobody(
         x1, y1 = linlin_rep(dist.tables[p])
         x2, y2 = linlin_rep(dist.tables[p + 1])
         knots, v1, v2 = merge_linlin(x1, y1, x2, y2)
-        t = np.clip((e_grid[sel] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0)
+        denom = es[p + 1] - es[p]
+        if denom > 0:
+            t = np.clip((e_grid[sel] - es[p]) / denom, 0.0, 1.0)
+        else:  # degenerate panel (e.g. isotropic fallback on a 1-point grid)
+            t = np.zeros(int(sel.sum()))
         for ti in t:
             rows.append((knots, (1.0 - ti) * v1 + ti * v2))
     # rows were appended in unique-panel order == ascending e order (panels ascend with e)

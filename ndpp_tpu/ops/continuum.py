@@ -227,6 +227,7 @@ def cm_moments(
         return carry + _scatter_rows(m, gidx, ng), None
 
     tt = e.shape[0]
-    init = jnp.zeros((tt, order + 1, ng), dtype=dtype)
+    # init derived from input data: keeps the carry mesh-varying under shard_map
+    init = jnp.zeros((tt, order + 1, ng), dtype=dtype) + (0.0 * e)[:, None, None]
     out, _ = jax.lax.scan(body, init, (p_arr, q_arr))
     return out

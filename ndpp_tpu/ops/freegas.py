@@ -1,0 +1,299 @@
+"""Free-gas (target-in-motion) thermal scattering moments with up-scatter.
+
+Config 3 (BASELINE.json:9; SURVEY.md sections 3.3, 8.5). Model: Maxwellian
+target of mass ratio A at temperature T (kT in eV), constant free-atom
+cross section, isotropic CM scattering — the standard free-gas model; the
+conditional-on-scatter kernel is independent of the cross-section value.
+
+Coordinates (speed units y = sqrt(E), so E = y^2):
+
+  v = sqrt(E) incident; gamma = A/(A+1); u' = gamma * v_r (CM outgoing speed)
+  V_cm in [|v - gamma v_r|, v + gamma v_r]   for given relative speed v_r
+  weight  w = v_r^2 * V_cm * exp(-beta^2 V^2),  beta^2 = A/kT,
+          V^2 = -v^2/A + v_r^2/(A+1) + V_cm^2 (A+1)/A
+  cos(v, V_cm) = c_a = (v^2 + V_cm^2 - gamma^2 v_r^2) / (2 v V_cm)
+  E' uniform over [(V_cm-u')^2, (V_cm+u')^2] with density 1/(4 V_cm u');
+  azimuthal average: <P_l(mu_lab)> = P_l(c_a) P_l(c_b),
+  c_b = (v'^2 + V_cm^2 - u'^2) / (2 v' V_cm).
+
+The innermost integral over v' = sqrt(E') of P_l(c_b) * 2v'/(4 V_cm u') is
+a Laurent polynomial — evaluated in CLOSED FORM per outgoing group
+(including the log term), so group boundaries cost nothing. The (v_r, V_cm)
+quadrature uses per-row graded panels; normalization divides by the same
+quadrature of the bare weight, which also yields sigma_eff/sigma_free for
+free validation against the analytic Doppler-broadened formula.
+
+f_{l,g'}(E,T) = [sum w P_l(c_a) J_{l,g'}] / [sum w], rows sum to 1 exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
+
+# per-row outer v_r panel offsets in units of 1/beta, graded around v_r = v
+_VR_OFFSETS = np.array([-8.0, -4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0, 8.0])
+# middle V_cm panel offsets in units of the Gaussian width, graded around the
+# weight peak V_cm* (the e^{-beta^2 V^2} band can be much narrower than the
+# kinematic [|v - u|, v + u] range at high x = beta v)
+_VCM_OFFSETS = np.array([-8.0, -4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0, 8.0])
+
+
+def _vcm_panel_nodes(v, vr, u, awr, beta, xc, wc, sb=None):
+    """Graded V_cm quadrature nodes/weights for given (row, v_r) values.
+
+    v/vr/u: (...,) tensors. When ``sb`` ((G+1,) sqrt-boundaries) is given,
+    the exact kink lines V_cm = sb_g -+ u (where the inner group-clipped
+    integral changes branch) are inserted as panel edges, keeping every GL
+    panel smooth. Returns cc, w_c with a flattened trailing node axis.
+    """
+    dtype = v.dtype
+    a_ratio = (awr + 1.0) / awr
+    clo = jnp.abs(v - u)
+    chi_ = v + u
+    # weight peak: V^2 = 0 at V_cm*^2 = v^2/(A+1) - A vr^2/(A+1)^2
+    vstar2 = v**2 / (awr + 1.0) - awr * vr**2 / (awr + 1.0) ** 2
+    vstar = jnp.sqrt(jnp.maximum(vstar2, 0.0))
+    anchor = jnp.clip(vstar, clo, chi_)
+    # two ladder scales: quadratic regime (peak interior) and linear regime
+    # (peak clipped at the domain edge, where dV^2/dV_cm ~ 2 V_cm a_ratio
+    # makes the Gaussian band much narrower — the A ~ 1 high-x case)
+    w_quad = 1.0 / (beta * jnp.sqrt(a_ratio))
+    w_lin = 1.0 / (beta**2 * 2.0 * jnp.maximum(anchor, 1e-30) * a_ratio)
+    offs = jnp.asarray(_VCM_OFFSETS, dtype=dtype)
+    graded_q = jnp.clip(anchor[..., None] + w_quad[..., None] * offs, clo[..., None], chi_[..., None])
+    graded_l = jnp.clip(anchor[..., None] + w_lin[..., None] * offs, clo[..., None], chi_[..., None])
+    parts = [clo[..., None], graded_q, graded_l, chi_[..., None]]
+    # |V_cm - u| branch switch: the inner-range lower end kinks at V_cm = u
+    parts.append(jnp.clip(u[..., None], clo[..., None], chi_[..., None]))
+    if sb is not None:
+        finite = jnp.where(jnp.isfinite(sb), sb, 0.0)
+        # kink families |V_cm - u| = sb_g and V_cm + u = sb_g reduce to the
+        # two value sets u + sb_g and |u - sb_g|
+        parts.append(jnp.clip(u[..., None] + finite, clo[..., None], chi_[..., None]))
+        parts.append(jnp.clip(jnp.abs(u[..., None] - finite), clo[..., None], chi_[..., None]))
+    edges = jnp.sort(jnp.concatenate(parts, axis=-1), axis=-1)
+    mid = 0.5 * (edges[..., 1:] + edges[..., :-1])  # (..., PC)
+    half = 0.5 * (edges[..., 1:] - edges[..., :-1])
+    cc = (mid[..., None] + half[..., None] * xc).reshape(*mid.shape[:-1], -1)
+    w_c = (half[..., None] * wc).reshape(*mid.shape[:-1], -1)
+    return cc, w_c
+
+
+def _leg_monomial_coeffs(order: int) -> list[np.ndarray]:
+    """Monomial coefficients of P_l, l = 0..order (exact in f64 for l <= ~12)."""
+    out = []
+    for l in range(order + 1):
+        c = np.zeros(l + 1)
+        c[l] = 1.0
+        out.append(np.polynomial.legendre.leg2poly(c))
+    return out
+
+
+def _inner_closed_form(lo, hi, cc, u, order: int):
+    """J_l = (1/(2 C u)) * int_lo^hi P_l((y^2 + D)/(2 C y)) y dy, D = C^2 - u^2.
+
+    lo/hi/cc/u broadcastable tensors (pre-clipped, lo <= hi); returns a list
+    of L+1 tensors. Exact (power rule + log term), vectorized.
+    """
+    d = cc * cc - u * u
+    inv2c = 1.0 / (2.0 * cc)
+    coeffs = _leg_monomial_coeffs(order)
+    lmax = order
+    # powers y^p for p in [2 - lmax, lmax + 2]
+    p_min = min(2 - lmax, 1)
+    p_max = lmax + 2
+    pow_lo = {0: jnp.ones_like(lo), 1: lo}
+    pow_hi = {0: jnp.ones_like(hi), 1: hi}
+    for p in range(2, p_max + 1):
+        pow_lo[p] = pow_lo[p - 1] * lo
+        pow_hi[p] = pow_hi[p - 1] * hi
+    inv_lo = 1.0 / jnp.maximum(lo, 1e-300)
+    inv_hi = 1.0 / jnp.maximum(hi, 1e-300)
+    for p in range(-1, p_min - 1, -1):
+        pow_lo[p] = pow_lo[p + 1] * inv_lo
+        pow_hi[p] = pow_hi[p + 1] * inv_hi
+    log_diff = jnp.log(jnp.maximum(hi, 1e-300)) - jnp.log(jnp.maximum(lo, 1e-300))
+
+    out = []
+    from math import comb
+
+    for l in range(order + 1):
+        acc = jnp.zeros_like(lo)
+        a = coeffs[l]
+        for k in range(l + 1):
+            if a[k] == 0.0:
+                continue
+            base = a[k]
+            for m in range(k + 1):
+                coef = base * comb(k, m)
+                p_exp = 2 * m + 2 - k  # antiderivative exponent of the y^{2m+1-k} term
+                dpow = d ** (k - m) if k - m > 0 else 1.0
+                scale = coef * inv2c**k * dpow
+                if p_exp == 0:
+                    acc = acc + scale * log_diff
+                else:
+                    acc = acc + (scale / p_exp) * (pow_hi[p_exp] - pow_lo[p_exp])
+        out.append(acc * inv2c / u)  # the 1/(2 C u) prefactor: inv2c/u
+    return out
+
+
+def _effective_sqrt_bounds(bounds, clamp: bool):
+    """sqrt of group boundaries, with edge groups extended under clamping."""
+    sb = jnp.sqrt(jnp.maximum(bounds, 0.0))
+    if not clamp:
+        return sb
+    lo = jnp.zeros((1,), dtype=bounds.dtype)
+    hi = jnp.full((1,), jnp.inf, dtype=bounds.dtype)
+    return jnp.concatenate([lo, sb[1:-1], hi])
+
+
+@partial(jax.jit, static_argnames=("order", "nq_r", "nq_c", "clamp"))
+def freegas_moments(e, awr, kt, bounds, order: int, nq_r: int = 8, nq_c: int = 12, clamp: bool = True):
+    """Free-gas transfer moments: (T, L+1, G), rows normalized per scatter.
+
+    e: (T,) incident energies (eV); awr: A; kt: temperature (eV);
+    bounds: (G+1,) group boundaries (eV).
+    """
+    dtype = e.dtype
+    ng = bounds.shape[0] - 1
+    v = jnp.sqrt(e)  # (T,)
+    # awr/kt may be scalars or per-row (T,) arrays (multi-nuclide batches)
+    awr = jnp.broadcast_to(jnp.asarray(awr, dtype=dtype), e.shape)
+    kt = jnp.broadcast_to(jnp.asarray(kt, dtype=dtype), e.shape)
+    gamma = awr / (awr + 1.0)  # (T,)
+    beta = jnp.sqrt(awr / kt)
+    inv_beta = 1.0 / beta
+
+    sb = _effective_sqrt_bounds(bounds, clamp)  # (G+1,)
+
+    # per-row outer panels over v_r: Maxwellian-graded offsets plus the
+    # closed-form kink locations where a middle-dimension split line
+    # (V_cm = sb_g -+ u) crosses the V_cm domain ends |v - gamma v_r| and
+    # v + gamma v_r:  v_r in {(v + sb_g)/2gamma, (v - sb_g)/2gamma,
+    # (sb_g - v)/2gamma}
+    offsets = jnp.asarray(_VR_OFFSETS, dtype=dtype)
+    graded_r = v[:, None] + inv_beta[:, None] * offsets[None, :]  # (T, P0+1)
+    lo_r = jnp.maximum(v - 8.0 * inv_beta, 0.0)[:, None]
+    hi_r = (v + 8.0 * inv_beta)[:, None]
+    sbf = jnp.where(jnp.isfinite(sb), sb, 0.0)[None, :]
+    g2 = (2.0 * gamma)[:, None]
+    # families (v + sb)/2gamma and |v - sb|/2gamma (the latter merges the
+    # (v - sb) and (sb - v) sets)
+    kinks = jnp.concatenate(
+        [
+            (v[:, None] + sbf) / g2,
+            jnp.abs(v[:, None] - sbf) / g2,
+        ],
+        axis=1,
+    )
+    kinks = jnp.clip(kinks, lo_r, hi_r)
+    edges = jnp.sort(jnp.concatenate([jnp.maximum(graded_r, 0.0), kinks], axis=1), axis=1)
+    pm = edges.shape[1] - 1
+    mid_p = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    half_p = 0.5 * (edges[:, 1:] - edges[:, :-1])
+
+    xr, wr = gl_nodes_weights(nq_r)
+    xr = jnp.asarray(xr, dtype=dtype)
+    wr = jnp.asarray(wr, dtype=dtype)
+    xc, wc = gl_nodes_weights(nq_c)
+    xc = jnp.asarray(xc, dtype=dtype)
+    wc = jnp.asarray(wc, dtype=dtype)
+
+    p_arr = jnp.asarray(np.repeat(np.arange(pm), nq_r), dtype=jnp.int32)
+    q_arr = jnp.asarray(np.tile(np.arange(nq_r), pm), dtype=jnp.int32)
+
+    a_ratio = (awr + 1.0) / awr
+
+    def body(carry, inp):
+        acc_num, acc_den = carry
+        p_idx, q_idx = inp
+        mid_c = jax.lax.dynamic_index_in_dim(mid_p, p_idx, axis=1, keepdims=False)  # (T,)
+        half_c = jax.lax.dynamic_index_in_dim(half_p, p_idx, axis=1, keepdims=False)
+        vr = mid_c + half_c * jnp.take(xr, q_idx)  # (T,)
+        w_r = half_c * jnp.take(wr, q_idx)  # (T,)
+
+        u = gamma * vr  # (T,)
+        cc, w_c = _vcm_panel_nodes(v, vr, u, awr, beta, xc, wc, sb)  # (T, C)
+
+        v2 = (v**2)[:, None]
+        vsq = -v2 / awr[:, None] + (vr**2)[:, None] / (awr + 1.0)[:, None] + cc**2 * a_ratio[:, None]
+        weight = (vr**2)[:, None] * cc * jnp.exp(-(beta**2)[:, None] * vsq) * w_c * w_r[:, None]  # (T, C)
+
+        c_a = jnp.clip((v2 + cc**2 - (u**2)[:, None]) / (2.0 * v[:, None] * cc), -1.0, 1.0)
+        pl_a = legendre_all(c_a, order)  # (T, C, L+1)
+
+        # inner: closed form per group over [max(|C-u|, sb_g), min(C+u, sb_{g+1})]
+        u2 = u[:, None, None]
+        cc3 = cc[:, :, None]
+        rng_lo = jnp.abs(cc3 - u2)  # (T, C, 1)
+        rng_hi = cc3 + u2
+        lo_g = jnp.maximum(rng_lo, sb[None, None, :-1])  # (T, C, G)
+        hi_g = jnp.minimum(rng_hi, sb[None, None, 1:])
+        valid = hi_g > lo_g
+        lo_s = jnp.where(valid, lo_g, 1.0)
+        hi_s = jnp.where(valid, hi_g, 1.0)
+        j_list = _inner_closed_form(lo_s, hi_s, cc3, u2, order)  # L+1 x (T, C, G)
+
+        num_terms = []
+        for l in range(order + 1):
+            jl = jnp.where(valid, j_list[l], 0.0)
+            num_terms.append(jnp.einsum("tc,tc,tcg->tg", weight, pl_a[:, :, l], jl))
+        num = jnp.stack(num_terms, axis=1)  # (T, L+1, G)
+        den = jnp.sum(weight, axis=1)  # (T,)
+        return (acc_num + num, acc_den + den), None
+
+    tt = e.shape[0]
+    # derive the init carry from input data so its mesh-varying type matches
+    # the body output under shard_map
+    zrow = 0.0 * e
+    init = (jnp.zeros((tt, order + 1, ng), dtype=dtype) + zrow[:, None, None], zrow)
+    (num, den), _ = jax.lax.scan(body, init, (p_arr, q_arr))
+    den = jnp.where(den > 0, den, 1.0)
+    return num / den[:, None, None]
+
+
+@partial(jax.jit, static_argnames=("nq_r", "nq_c"))
+def freegas_sigma_eff_ratio(e, awr, kt, nq_r: int = 8, nq_c: int = 8):
+    """sigma_eff/sigma_free = vbar_r / v computed with the SAME quadrature.
+
+    Validation hook: the analytic result is
+      (1 + 1/(2x^2)) erf(x) + exp(-x^2)/(sqrt(pi) x),  x = sqrt(A E / kT).
+    Agreement checks the (v_r, V_cm) quadrature independently of any moments.
+    """
+    dtype = e.dtype
+    v = jnp.sqrt(e)
+    gamma = awr / (awr + 1.0)
+    beta = jnp.sqrt(awr / kt)
+    inv_beta = 1.0 / beta
+    offsets = jnp.asarray(_VR_OFFSETS, dtype=dtype)
+    edges = jnp.maximum(v[:, None] + inv_beta * offsets[None, :], 0.0)
+    edges = jnp.sort(edges, axis=1)
+    mid_p = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    half_p = 0.5 * (edges[:, 1:] - edges[:, :-1])
+    xr, wr = gl_nodes_weights(nq_r)
+    xc, wc = gl_nodes_weights(nq_c)
+    xr = jnp.asarray(xr, dtype=dtype)
+    wr = jnp.asarray(wr, dtype=dtype)
+    xc = jnp.asarray(xc, dtype=dtype)
+    wc = jnp.asarray(wc, dtype=dtype)
+    a_ratio = (awr + 1.0) / awr
+
+    vr = mid_p[:, :, None] + half_p[:, :, None] * xr[None, None, :]  # (T, P, R)
+    w_r = half_p[:, :, None] * wr[None, None, :]
+    u = gamma * vr
+    cc, w_c = _vcm_panel_nodes(jnp.broadcast_to(v[:, None, None], vr.shape), vr, u, awr, beta, xc, wc)
+    v2 = (v**2)[:, None, None, None]
+    vsq = -v2 / awr + (vr**2)[..., None] / (awr + 1.0) + cc**2 * a_ratio
+    wgt = (vr**2)[..., None] * cc * jnp.exp(-(beta**2) * vsq) * w_c * w_r[..., None]
+    # vbar_r = int f(V) v_r d3V = (2 beta^3 / (sqrt(pi) gamma v)) * N_full
+    # (the weight already carries the v_r rate factor via the v_r^2 Jacobian
+    # times rate); sigma_eff/sigma_free = vbar_r / v.
+    n_full = jnp.sum(wgt, axis=(1, 2, 3))
+    return 2.0 * beta**3 * n_full / (jnp.sqrt(jnp.pi) * gamma * v**2)

@@ -96,6 +96,49 @@ def sharded_twobody_moments(
     return fn(e, knots, pdf, bounds, c1, c2, awr)
 
 
+def sharded_freegas_moments(mesh: Mesh, e, awr, kt, bounds, order: int, **kw):
+    """Free-gas moments for an (N, T) energy batch sharded over the mesh.
+
+    e: (N, T); awr: (N,); kt scalar; bounds replicated. No collectives.
+    """
+    from ndpp_tpu.ops.freegas import freegas_moments
+
+    def local(e_b, awr_b, bounds_b):
+        n_loc, t_loc = e_b.shape
+        rows = n_loc * t_loc
+        out = freegas_moments(
+            e_b.reshape(rows), jnp.repeat(awr_b, t_loc), kt, bounds_b, order, **kw
+        )
+        return out.reshape(n_loc, t_loc, order + 1, bounds_b.shape[0] - 1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("nuclide", "e"), P("nuclide"), P()),
+        out_specs=P("nuclide", "e", None, None),
+    )
+    return fn(e, awr, bounds)
+
+
+def sharded_chi_fractions(mesh: Mesh, e_knots, pdf, bounds, clamp: bool = True):
+    """Tabular spectrum group fractions for an (N, T, K) batch, sharded."""
+    from ndpp_tpu.ops.chi import tabular_group_fractions
+
+    def local(kn_b, pd_b, bounds_b):
+        n_loc, t_loc, k = kn_b.shape
+        rows = n_loc * t_loc
+        out = tabular_group_fractions(kn_b.reshape(rows, k), pd_b.reshape(rows, k), bounds_b, clamp)
+        return out.reshape(n_loc, t_loc, bounds_b.shape[0] - 1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("nuclide", "e", None), P("nuclide", "e", None), P()),
+        out_specs=P("nuclide", "e", None),
+    )
+    return fn(e_knots, pdf, bounds)
+
+
 def place_batch(mesh: Mesh, arrays: dict[str, np.ndarray]) -> dict[str, jax.Array]:
     """device_put host arrays with the canonical (nuclide, e, ...) sharding."""
     out = {}

@@ -1,0 +1,128 @@
+"""Free-gas kernel: analytic sigma_eff, oracle match, detailed balance,
+T->0 limit, upscatter, and driver integration (config 3; SURVEY.md 4.4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import erf
+
+from ndpp_tpu import config as config_mod
+from ndpp_tpu import groups
+from ndpp_tpu.freegas_driver import apply_freegas
+from ndpp_tpu.host.ace import synth
+from ndpp_tpu.host.prep import prepare_twobody
+from ndpp_tpu.ops.freegas import freegas_moments, freegas_sigma_eff_ratio
+from ndpp_tpu.ops.twobody import twobody_moments
+from ndpp_tpu.oracle.freegas import freegas_moments_oracle
+
+KT = 0.0253  # ~293.6 K
+
+
+def _analytic_ratio(e, a, kt):
+    x = np.sqrt(a * e / kt)
+    return (1 + 1 / (2 * x**2)) * erf(x) + np.exp(-(x**2)) / (np.sqrt(np.pi) * x)
+
+
+@pytest.mark.parametrize("awr", [0.999167, 15.858, 238.0])
+def test_sigma_eff_vs_analytic(awr):
+    """The kernel's own quadrature must reproduce the Doppler sigma_eff to ~1e-10
+    over the free-gas application domain (E <= 400 kT)."""
+    e = np.array([1e-4, KT / 10, KT, 1.0, 10.0, 400 * KT])
+    dev = np.asarray(freegas_sigma_eff_ratio(jnp.asarray(e), awr, KT))
+    np.testing.assert_allclose(dev, _analytic_ratio(e, awr, KT), rtol=2e-9)
+
+
+def test_moments_vs_oracle():
+    g = groups.uniform_lethargy("fg12", 12, 1e-6, 1000.0)
+    awr = 0.999167
+    for e in (KT / 4.0, 2.0):
+        dev = np.asarray(freegas_moments(jnp.asarray([e]), awr, KT, jnp.asarray(g.bounds), 2))[0]
+        ora = freegas_moments_oracle(e, awr, KT, g.bounds, 2)
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev, ora, rtol=1e-7, atol=1e-8 * scale, err_msg=f"E={e}")
+
+
+def test_moments_vs_oracle_heavy():
+    g = groups.uniform_lethargy("fg12h", 12, 1e-6, 1000.0)
+    awr = 238.0
+    e = KT
+    dev = np.asarray(freegas_moments(jnp.asarray([e]), awr, KT, jnp.asarray(g.bounds), 2))[0]
+    ora = freegas_moments_oracle(e, awr, KT, g.bounds, 2)
+    scale = np.abs(ora).max()
+    np.testing.assert_allclose(dev, ora, rtol=1e-7, atol=1e-8 * scale)
+
+
+def test_normalization_and_upscatter():
+    g = groups.uniform_lethargy("fg30", 30, 1e-7, 5000.0)
+    e = np.array([KT / 100, KT, 10 * KT, 400 * KT])
+    f = np.asarray(freegas_moments(jnp.asarray(e), 0.999167, KT, jnp.asarray(g.bounds), 3))
+    np.testing.assert_allclose(f[:, 0, :].sum(axis=1), 1.0, rtol=1e-12)
+    # cold neutron at kT/100 overwhelmingly up-scatters
+    gi = g.group_of(float(e[0]))
+    assert f[0, 0, gi + 1 :].sum() > 0.9
+    # at 400 kT, up-scatter is nearly gone
+    gi3 = g.group_of(float(e[3]))
+    assert f[3, 0, gi3 + 1 :].sum() < 0.02
+
+
+def test_detailed_balance():
+    """Maxwellian equilibrium: E e^{-E/kT} sig(E) p(E->E') symmetric in E<->E'.
+
+    Checked with narrow groups (midpoint approximation => loose tolerance)."""
+    awr = 1.0
+    # narrow groups centered on two energies
+    e1, e2 = KT * 0.7, KT * 1.9
+    width = 0.004
+    bounds = np.sort(
+        np.unique(
+            np.concatenate(
+                [[1e-8, 50 * KT], [e1 * (1 - width), e1 * (1 + width)], [e2 * (1 - width), e2 * (1 + width)]]
+            )
+        )
+    )
+    gs_b = jnp.asarray(bounds)
+    f1 = np.asarray(freegas_moments(jnp.asarray([e1]), awr, KT, gs_b, 0))[0, 0]
+    f2 = np.asarray(freegas_moments(jnp.asarray([e2]), awr, KT, gs_b, 0))[0, 0]
+    g1 = int(np.searchsorted(bounds, e1) - 1)
+    g2 = int(np.searchsorted(bounds, e2) - 1)
+    d1 = bounds[g1 + 1] - bounds[g1]
+    d2 = bounds[g2 + 1] - bounds[g2]
+    r1 = float(np.asarray(freegas_sigma_eff_ratio(jnp.asarray([e1]), awr, KT))[0])
+    r2 = float(np.asarray(freegas_sigma_eff_ratio(jnp.asarray([e2]), awr, KT))[0])
+    lhs = e1 * np.exp(-e1 / KT) * r1 * f1[g2] / d2
+    rhs = e2 * np.exp(-e2 / KT) * r2 * f2[g1] / d1
+    assert lhs == pytest.approx(rhs, rel=2e-3)
+
+
+def test_t_to_zero_matches_0k_elastic():
+    """At E >> kT the free-gas kernel approaches the 0K isotropic-CM kernel."""
+    nuc = synth.build("h1_iso")
+    g = groups.get("uniform-lethargy-47")
+    e = np.array([5e3])  # 2e5 x kT
+    kt_tiny = KT / 1000.0
+    ffg = np.asarray(freegas_moments(jnp.asarray(e), nuc.awr, kt_tiny, jnp.asarray(g.bounds), 3))[0]
+    prep = prepare_twobody(nuc, nuc.elastic, e)
+    f0k = np.asarray(
+        twobody_moments(
+            jnp.asarray(prep.e), jnp.asarray(prep.knots), jnp.asarray(prep.pdf),
+            jnp.asarray(g.bounds), prep.c1, prep.c2, prep.awr, 3,
+        )
+    )[0]
+    np.testing.assert_allclose(ffg, f0k, atol=2e-4 * np.abs(f0k).max())
+
+
+def test_driver_applies_freegas():
+    nuc = synth.build("h1")
+    g = groups.get("uniform-lethargy-47")
+    cfg = config_mod.RunConfig(legendre_order=2, temperatures=[293.6, 600.0])
+    e_grid = nuc.energy
+    nt = 2
+    base = np.zeros((nt, e_grid.size, 3, g.ng))
+    scatter = apply_freegas(base.copy(), nuc, g, cfg, e_grid)
+    cut1 = 400 * config_mod.BOLTZMANN_EV_PER_K * 293.6
+    n1 = int(np.searchsorted(e_grid, cut1))
+    # thermal rows changed, fast rows untouched
+    assert np.any(scatter[0, :n1] != 0)
+    assert np.all(scatter[:, n1 + 50 :] == 0)
+    # the two temperatures differ on thermal rows
+    assert np.any(scatter[0, :n1] != scatter[1, :n1])
