@@ -33,6 +33,7 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
     out = np.zeros((ne, gs.ng))
     if prep.kind == "lab-analytic":
         tile = 4096
+        pending = []
         for start, length in unionize.tile_indices(ne, tile):
             pad = min(tile, ne)
             frac = analytic_group_fractions(
@@ -44,6 +45,8 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
                 prep.extra["law"],
                 clamp,
             )
+            pending.append((start, length, frac))
+        for start, length, frac in pending:
             out[start : start + length] = np.asarray(frac)[:length]
         return out
     if prep.e_knots is None:
@@ -52,6 +55,7 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
     k16 = -(-prep.e_knots.shape[1] // 16) * 16
     kn = unionize.pad_to(prep.e_knots, k16, axis=1)
     pd = unionize.pad_to(prep.pdf, k16, axis=1)
+    pending = []
     for start, length in unionize.tile_indices(ne, tile):
         pad = min(tile, ne)
         frac = tabular_group_fractions(
@@ -60,6 +64,8 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
             bounds,
             clamp,
         )
+        pending.append((start, length, frac))
+    for start, length, frac in pending:
         out[start : start + length] = np.asarray(frac)[:length]
     return out
 

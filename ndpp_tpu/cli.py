@@ -51,6 +51,12 @@ def _cmd_fixtures(args) -> int:
         write_ace(nuc, path)
         lines.append(f"{nuc.name} {nuc.awr:.6f} {path.name} 0 1 1 0")
         print(f"wrote {path} ({nuc.name})")
+    for i in range(args.stress):
+        nuc = synth.stress_nuclide(i)
+        path = out / f"stress{i:03d}.ace"
+        write_ace(nuc, path)
+        lines.append(f"{nuc.name} {nuc.awr:.6f} {path.name} 0 1 1 0")
+        print(f"wrote {path} ({nuc.name}, NE={nuc.energy.size}, A={nuc.awr:.1f})")
     (out / "xsdir").write_text("directory\n" + "\n".join(lines) + "\n")
     print(f"wrote {out / 'xsdir'} ({len(lines)} entries)")
     return 0
@@ -124,6 +130,7 @@ def main(argv: list[str] | None = None) -> int:
 
     pf = sub.add_parser("fixtures", help="generate the synthetic ACE fixture library")
     pf.add_argument("--out", required=True)
+    pf.add_argument("--stress", type=int, default=0, help="add N parametrized stress nuclides")
     pf.set_defaults(fn=_cmd_fixtures)
 
     pc = sub.add_parser("compare", help="compare two HDF5 moment libraries")

@@ -76,6 +76,7 @@ class RunConfig:
     thermal_cutoff_kt: float = 400.0
     include_yield: bool = True  # weight transfer moments by neutron multiplicity
     clamp_outside: bool = True  # out-of-range outgoing E collapses into edge groups
+    thin_tol: float = 0.0  # >0: thin the moment grid where sigma interpolates within tol
     freegas_for: list[str] = field(default_factory=list)  # nuclide names; empty = all with A < 400... see prep
     output: OutputConfig = field(default_factory=OutputConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
@@ -115,6 +116,7 @@ def _build(data: dict) -> RunConfig:
         thermal_cutoff_kt=float(run.get("thermal_cutoff_kt", 400.0)),
         include_yield=bool(run.get("include_yield", True)),
         clamp_outside=bool(run.get("clamp_outside", True)),
+        thin_tol=float(run.get("thin_tol", 0.0)),
         freegas_for=list(run.get("freegas_for", [])),
         resume=bool(run.get("resume", False)),
     )

@@ -66,6 +66,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
     if prep.kind == "lab-analytic":
         law = prep.extra["law"]
         tile, spans = _tiles(ne, 4096)
+        pending = []
         for start, length in spans:
             e_t = unionize.pad_to(prep.e[start : start + length], tile)
             th_t = unionize.pad_to(prep.extra["theta"][start : start + length], tile)
@@ -73,6 +74,8 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
             frac = analytic_group_fractions(
                 jnp.asarray(e_t), jnp.asarray(th_t), jnp.asarray(b_t), prep.extra["u"], bounds, law, clamp
             )
+            pending.append((start, length, frac))
+        for start, length, frac in pending:
             out[start : start + length, 0, :] = np.asarray(frac)[:length]
         return out  # isotropic lab: moments l >= 1 vanish
 
@@ -82,6 +85,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         pd = unionize.pad_to(prep.pdf, k16, axis=1)
         mm = unionize.pad_to(prep.mom_knots, k16, axis=1)
         tile, spans = _tiles(ne, 1024)
+        pending = []
         for start, length in spans:
             res = lab_tabular_moments(
                 jnp.asarray(unionize.pad_to(kn[start : start + length], tile)),
@@ -92,6 +96,8 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 8,
                 clamp,
             )
+            pending.append((start, length, res))
+        for start, length, res in pending:
             out[start : start + length] = np.asarray(res)[:length]
         return out
 
@@ -121,6 +127,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
         tile, spans = _tiles(ne, _CONTINUUM_TILE)
+        pending = []
         for start, length in spans:
             sl = slice(start, start + length)
             res = cm_moments(
@@ -146,6 +153,8 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 energy,
                 clamp,
             )
+            pending.append((sl, length, res))
+        for sl, length, res in pending:
             out[sl] = np.asarray(res)[:length]
         return out
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -81,6 +82,9 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     pdf = unionize.pad_to(prep.pdf, k16, axis=1)
     out = np.empty((ne, order + 1, bounds.size - 1))
     b = jnp.asarray(bounds)
+    # dispatch every tile asynchronously, then gather: one tunnel round-trip
+    # instead of one per tile
+    pending = []
     for start, length in unionize.tile_indices(ne, tile):
         e_t = unionize.pad_to(prep.e[start : start + length], tile)
         k_t = unionize.pad_to(knots[start : start + length], tile)
@@ -88,6 +92,8 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
         res = twobody_moments(
             jnp.asarray(e_t), jnp.asarray(k_t), jnp.asarray(p_t), b, prep.c1, prep.c2, prep.awr, order, nq, clamp
         )
+        pending.append((start, length, res))
+    for start, length, res in pending:
         out[start : start + length] = np.asarray(res)[:length]
     return out
 
@@ -138,6 +144,9 @@ def scattering_moments(
 def process_nuclide(nuc: Nuclide, gs: GroupStructure, cfg: RunConfig, metrics: RunMetrics | None = None) -> NuclideResult:
     """Full single-nuclide pipeline -> NuclideResult."""
     e_grid = unionize.moment_grid(nuc.energy)
+    if cfg.thin_tol > 0:
+        keep = unionize.thin_grid(e_grid, np.stack([nuc.sigma_t, nuc.sigma_el]), cfg.thin_tol)
+        e_grid = e_grid[keep]
     temps = np.asarray(cfg.temperatures, dtype=np.float64)
     nt = temps.size
 
@@ -204,6 +213,14 @@ def run(cfg: RunConfig) -> RunMetrics:
     pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="ndpp-parse")
     futures = {}
     prefetch_depth = 2
+    profile_ctx = None
+    if cfg.device.profile:
+        import jax
+
+        trace_dir = str(Path(cfg.output.path).parent / "jax_trace")
+        jax.profiler.start_trace(trace_dir)
+        profile_ctx = trace_dir
+        log.info("device profiling -> %s", trace_dir)
     try:
         for i, name in enumerate(todo):
             for j in range(i, min(i + prefetch_depth, len(todo))):
@@ -226,6 +243,10 @@ def run(cfg: RunConfig) -> RunMetrics:
                 metrics.nuclides_quarantined += 1
                 log.error("quarantined %s: %s", name, e)
     finally:
+        if profile_ctx is not None:
+            import jax
+
+            jax.profiler.stop_trace()
         pool.shutdown(wait=False, cancel_futures=True)
         metrics.wall_seconds = time.perf_counter() - t0
         metrics.phase_seconds = timers.report()

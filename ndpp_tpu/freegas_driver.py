@@ -67,12 +67,13 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         # modest thermal tiles: the kernel's scan program is large
         tile = driver_mod._pow2_at_most(n_rows, 64)
         ffg = np.zeros((n_rows, order + 1, gs.ng))
+        pending = []
         for start, length in unionize.tile_indices(n_rows, tile):
             e_t = unionize.pad_to(e_grid[start : start + length], tile)
-            part = np.asarray(
-                freegas_moments(jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside)
-            )[:length]
-            ffg[start : start + length, :, :w] = part
+            part = freegas_moments(jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside)
+            pending.append((start, length, part))
+        for start, length, part in pending:
+            ffg[start : start + length, :, :w] = np.asarray(part)[:length]
 
         # 0K elastic moments on the same rows (shape-consistent subtraction)
         f0k = driver_mod._tiled_twobody(

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
-from ndpp_tpu.ops.twobody import _interp_rows
+from ndpp_tpu.ops.twobody import _affine_coeffs_rows, _interp_rows
 
 
 def _effective_bounds(bounds, clamp: bool):
@@ -73,14 +73,15 @@ def lab_tabular_moments(e_knots, pdf, moms, bounds, order: int, nq: int = 6, cla
     half = 0.5 * (hi - lo)
     mid = 0.5 * (hi + lo)
     tt, ss = mid.shape
-    x = mid[:, :, None] + half[:, :, None] * xq[None, None, :]  # (T, S, Q)
-    xf = x.reshape(tt, ss * nq)
-    pdf_q = _interp_rows(e_knots, pdf, xf).reshape(tt, ss, nq)
-    w = pdf_q * wq[None, None, :] * half[:, :, None]
+    x = mid[:, None, :] + half[:, None, :] * xq[None, :, None]  # (T, Q, S)
+    a_p, b_p = _affine_coeffs_rows(e_knots, pdf, mid)
+    pdf_q = a_p[:, None, :] + b_p[:, None, :] * x
+    w = pdf_q * wq[None, :, None] * half[:, None, :]
     out_m = []
     for l in range(order + 1):
-        ml = _interp_rows(e_knots, moms[:, :, l], xf).reshape(tt, ss, nq)
-        out_m.append(jnp.sum(w * ml, axis=-1))  # (T, S)
+        a_m, b_m = _affine_coeffs_rows(e_knots, moms[:, :, l], mid)
+        ml = a_m[:, None, :] + b_m[:, None, :] * x
+        out_m.append(jnp.sum(w * ml, axis=1))  # (T, S)
     m = jnp.stack(out_m, axis=1)  # (T, L+1, S)
 
     gidx = jnp.searchsorted(bounds, mid, side="right") - 1
@@ -176,8 +177,7 @@ def cm_moments(
         half = 0.5 * (hi - lo)
         mid = 0.5 * (hi + lo)
         tt, ss_ = mid.shape
-        x = mid[:, :, None] + half[:, :, None] * xq_e[None, None, :]  # (T, S, QE)
-        xf = x.reshape(tt, ss_ * nq_e)
+        x = mid[:, None, :] + half[:, None, :] * xq_e[None, :, None]  # (T, QE, S)
 
         if energy == "nbody":
             pe = (
@@ -186,11 +186,14 @@ def cm_moments(
                 * jnp.maximum(nbody_emax[:, None, None] - x, 0.0) ** nbody_expo
             )
         else:
-            pe = _interp_rows(e_knots, pdf_e, xf).reshape(tt, ss_, nq_e)
+            a_e, b_e = _affine_coeffs_rows(e_knots, pdf_e, mid)
+            pe = a_e[:, None, :] + b_e[:, None, :] * x
 
         if angular == "kalbach":
-            rr = _interp_rows(e_knots, r_rows, xf).reshape(tt, ss_, nq_e)
-            aa = _interp_rows(e_knots, a_rows, xf).reshape(tt, ss_, nq_e)
+            a_r, b_r = _affine_coeffs_rows(e_knots, r_rows, mid)
+            a_a, b_a = _affine_coeffs_rows(e_knots, a_rows, mid)
+            rr = a_r[:, None, :] + b_r[:, None, :] * x
+            aa = a_a[:, None, :] + b_a[:, None, :] * x
             pa = aa / (2.0 * jnp.sinh(aa)) * (jnp.cosh(aa * mu3) + rr * jnp.sinh(aa * mu3))
         elif angular == "tabular":
             kmu = mu_knots.shape[0]
@@ -201,7 +204,8 @@ def cm_moments(
             mk1 = jnp.take(mu_knots, j + 1)
             t_mu = jnp.clip((mu[:, 0] - mk0) / jnp.maximum(mk1 - mk0, 1e-300), 0.0, 1.0)
             pmu_k = left + t_mu[:, None] * (right - left)  # (T, KE) angular pdf at mu, per knot
-            pa = _interp_rows(e_knots, pmu_k, xf).reshape(tt, ss_, nq_e)
+            a_m, b_m = _affine_coeffs_rows(e_knots, pmu_k, mid)
+            pa = a_m[:, None, :] + b_m[:, None, :] * x
         else:  # isotropic
             pa = 0.5
 
@@ -211,9 +215,17 @@ def cm_moments(
             -1.0,
             1.0,
         )
-        pl = legendre_all(mu_lab, order)  # (T, S, QE, L+1)
-        wgt = pe * pa * wq_e[None, None, :] * half[:, :, None] * w_mu[:, :, None]
-        m = jnp.einsum("tsq,tsql->tls", wgt, pl)  # (T, L+1, S)
+        wgt = pe * pa * wq_e[None, :, None] * half[:, None, :] * w_mu[:, :, None]  # (T, QE, S)
+        p_prev = jnp.ones_like(mu_lab)
+        m_list = [jnp.sum(wgt, axis=1)]
+        if order >= 1:
+            p_cur = mu_lab
+            m_list.append(jnp.sum(wgt * p_cur, axis=1))
+            for l in range(1, order):
+                p_next = ((2 * l + 1) * mu_lab * p_cur - l * p_prev) / (l + 1)
+                p_prev, p_cur = p_cur, p_next
+                m_list.append(jnp.sum(wgt * p_cur, axis=1))
+        m = jnp.stack(m_list, axis=1)  # (T, L+1, S)
 
         elab_mid = mid + 2.0 * mu * s[:, None] * jnp.sqrt(jnp.maximum(mid, 0.0)) + (s**2)[:, None]
         gidx = jnp.searchsorted(bounds, elab_mid, side="right") - 1

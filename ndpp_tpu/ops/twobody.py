@@ -35,6 +35,35 @@ import numpy as np
 from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
 
 
+def _affine_coeffs_rows(knots, pdf, mid):
+    """Per-point affine pdf coefficients (a, b) of the knot panel containing
+    each query in `mid` (T, S). Masked sum over the static knot axis — no
+    gathers. Queries must not sit exactly on interior knots (subinterval
+    midpoints never do)."""
+    k = knots.shape[1]
+    a = jnp.zeros_like(mid)
+    b = jnp.zeros_like(mid)
+    covered = jnp.zeros_like(mid, dtype=bool)
+    for j in range(k - 1):
+        x0 = knots[:, j : j + 1]
+        x1 = knots[:, j + 1 : j + 2]
+        y0 = pdf[:, j : j + 1]
+        y1 = pdf[:, j + 1 : j + 2]
+        dx = x1 - x0
+        slope = jnp.where(dx > 0, (y1 - y0) / jnp.where(dx > 0, dx, 1.0), 0.0)
+        inter = y0 - slope * x0
+        inside = (mid >= x0) & (mid < x1)
+        if j == 0:
+            inside = inside | (mid < x0)
+        if j == k - 2:
+            inside = inside | (mid >= x1)
+        take = inside & ~covered
+        a = jnp.where(take, inter, a)
+        b = jnp.where(take, slope, b)
+        covered = covered | take
+    return a, b
+
+
 def _interp_rows(knots, pdf, mu):
     """Piecewise-linear pdf evaluation per row, safe on duplicated knots.
 
@@ -138,21 +167,39 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
     half = 0.5 * (hi - lo)  # (T, S)
     mid = 0.5 * (hi + lo)
 
-    # Quadrature points per subinterval: (T, S, Q)
-    mu_q = mid[:, :, None] + half[:, :, None] * xq[None, None, :]
-    tt, ss, qq = mu_q.shape
-    pdf_q = _interp_rows(knots, pdf, mu_q.reshape(tt, ss * qq)).reshape(tt, ss, qq)
+    # Layout: (T, Q, S) keeps the wide subinterval axis in lanes for every
+    # elementwise op, and the q-reduction is Q static lane-aligned adds —
+    # never materializing a (T, S, Q, L+1) tensor whose 6-wide minor axis
+    # would waste 20/21 of each vector register.
+    tt, ss = mid.shape
+    mu_q = mid[:, None, :] + half[:, None, :] * xq[None, :, None]  # (T, Q, S)
+    # Every subinterval lies inside exactly ONE pdf panel (the edges include
+    # all knots), so the pdf is a single affine a + b*mu per subinterval:
+    # select coefficients by midpoint (S masked terms instead of S*Q interps)
+    a_s, b_s = _affine_coeffs_rows(knots, pdf, mid)
+    pdf_q = a_s[:, None, :] + b_s[:, None, :] * mu_q
 
     elab_q = base[:, None, None] + slope[:, None, None] * mu_q
-    mu_lab = mu_q * jnp.sqrt(ecm)[:, None, None] / jnp.sqrt(elab_q) + (
-        jnp.sqrt(e_safe)[:, None, None] / (ap1[:, None, None] * jnp.sqrt(elab_q))
+    inv_sqrt_elab = jax.lax.rsqrt(elab_q)
+    mu_lab = jnp.clip(
+        (mu_q * jnp.sqrt(ecm)[:, None, None] + (jnp.sqrt(e_safe) / ap1)[:, None, None])
+        * inv_sqrt_elab,
+        -1.0,
+        1.0,
     )
-    # guard rounding: |mu_lab| <= 1
-    mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
 
-    pl = legendre_all(mu_lab, order)  # (T, S, Q, L+1)
-    weight = pdf_q * wq[None, None, :] * half[:, :, None]  # (T, S, Q)
-    m = jnp.einsum("tsq,tsql->tls", weight, pl)  # (T, L+1, S)
+    weight = pdf_q * wq[None, :, None] * half[:, None, :]  # (T, Q, S)
+    # Bonnet recurrence in place; per-l reduction over the Q axis
+    p_prev = jnp.ones_like(mu_lab)
+    m_list = [jnp.sum(weight, axis=1)]  # l = 0
+    if order >= 1:
+        p_cur = mu_lab
+        m_list.append(jnp.sum(weight * p_cur, axis=1))
+        for l in range(1, order):
+            p_next = ((2 * l + 1) * mu_lab * p_cur - l * p_prev) / (l + 1)
+            p_prev, p_cur = p_cur, p_next
+            m_list.append(jnp.sum(weight * p_cur, axis=1))
+    m = jnp.stack(m_list, axis=1)  # (T, L+1, S)
 
     # Outgoing group of each subinterval (constant within it, by construction)
     elab_mid = base[:, None] + slope[:, None] * mid  # (T, S)
