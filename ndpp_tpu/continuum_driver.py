@@ -37,11 +37,18 @@ def _mu_panel_edges(
     if data_knots is not None:
         base = np.union1d(base, np.asarray(data_knots, dtype=np.float64))
     ne = e_rows.size
-    nb = bounds.size
+    # For fine structures the per-boundary fold kinks are individually tiny;
+    # cap the inserted set (decimate uniformly) so the outer scan length does
+    # not scale with G (the uncapped version scales O(G) panels and
+    # overwhelmed the worker at 361 groups; exactness is retained for
+    # structures below the cap).
+    if bounds.size > 49:
+        idx = np.unique(np.linspace(0, bounds.size - 1, 49).astype(int))
+        bounds = bounds[idx]
     s2 = e_rows / (awr + 1.0) ** 2  # (T,)
-    ratio = bounds[None, :] / np.maximum(s2[:, None], 1e-300)  # (T, G+1)
+    ratio = bounds[None, :] / np.maximum(s2[:, None], 1e-300)  # (T, <=49)
     with np.errstate(invalid="ignore"):
-        mustar = -np.sqrt(np.clip(1.0 - ratio, 0.0, None))  # (T, G+1); 0 where unreachable
+        mustar = -np.sqrt(np.clip(1.0 - ratio, 0.0, None))  # 0 where unreachable
     mustar = np.where((ratio > 0.0) & (ratio < 1.0), mustar, 1.0)  # park dead entries at +1
     edges = np.concatenate([np.broadcast_to(base, (ne, base.size)), mustar], axis=1)
     return np.sort(edges, axis=1)
@@ -147,8 +154,10 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 max(cfg.device.quad_points, 16),
                 # outer-mu order: the nbody energy-ladder knots sweep many
                 # C^1 kinks through mu (convergence study in tests), so that
-                # path needs a higher outer order than the tabular laws
-                64 if energy == "nbody" else 24,
+                # path needs a higher outer order than the tabular laws.
+                # Fine group structures halve the order to bound the scan
+                # length (panel count already grows with the mu-kink cap).
+                (64 if energy == "nbody" else 24) if gs.ng <= 64 else (32 if energy == "nbody" else 12),
                 angular,
                 energy,
                 clamp,

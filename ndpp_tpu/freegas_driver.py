@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ndpp_tpu.config import BOLTZMANN_EV_PER_K
-from ndpp_tpu.ops.freegas import freegas_moments
+from ndpp_tpu.ops.freegas import freegas_moments, freegas_moments_pointwise
 from ndpp_tpu.utils import log as log_mod
 
 
@@ -68,9 +68,27 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         tile = driver_mod._pow2_at_most(n_rows, 64)
         ffg = np.zeros((n_rows, order + 1, gs.ng))
         pending = []
+        # Kernel choice (docs/design.md): the grouped kernel is exact
+        # (~1e-9) but its exact-breakpoint families scale with the window
+        # size; past ~48 boundaries the pointwise-E' kernel takes over
+        # (A-dependent ~1e-5..1e-7 quadrature accuracy; the round-2 plan is
+        # analytic inner integrals to restore 1e-8 at fine structures).
+        use_pointwise = w > 48
+        if use_pointwise:
+            bw = gs.bounds[: w + 1].copy()
+            if cfg.clamp_outside:
+                bw[0] = 0.0
+            bounds_pw = jnp.asarray(bw)
         for start, length in unionize.tile_indices(n_rows, tile):
             e_t = unionize.pad_to(e_grid[start : start + length], tile)
-            part = freegas_moments(jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside)
+            if use_pointwise:
+                part = freegas_moments_pointwise(
+                    jnp.asarray(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
+                )
+            else:
+                part = freegas_moments(
+                    jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside
+                )
             pending.append((start, length, part))
         for start, length, part in pending:
             ffg[start : start + length, :, :w] = np.asarray(part)[:length]

@@ -297,3 +297,250 @@ def freegas_sigma_eff_ratio(e, awr, kt, nq_r: int = 8, nq_c: int = 8):
     # times rate); sigma_eff/sigma_free = vbar_r / v.
     n_full = jnp.sum(wgt, axis=(1, 2, 3))
     return 2.0 * beta**3 * n_full / (jnp.sqrt(jnp.pi) * gamma * v**2)
+
+
+# ---------------------------------------------------------------------------
+# Pointwise-E' formulation (v2): cost per outgoing point independent of the
+# group count. The kink-panel ("grouped") kernel above inserts O(G) exact
+# breakpoints in BOTH quadrature dimensions, which is unbeatable for coarse
+# structures but scales O(G^2) in nodes and faulted the TPU worker at
+# G=361. Here the differential kernel dF_l/dE'(y') is evaluated at per-group
+# Gauss-Legendre points in y' = sqrt(E') (the only non-smooth E' feature,
+# the cusp at y' = v, becomes a panel edge), with a smooth (v_r, V_cm)
+# quadrature per point whose THREE closed-form v_r kinks
+# {y/gamma, (v -+ y)/(2 gamma)} do not depend on the group structure.
+
+
+@partial(jax.jit, static_argnames=("order", "nq_g", "nq_r", "nq_c", "chunk"))
+def freegas_moments_pointwise(
+    e,
+    awr,
+    kt,
+    bounds,
+    order: int,
+    nq_g: int = 6,
+    nq_r: int = 6,
+    nq_c: int = 6,
+    chunk: int = 8,
+):
+    """Free-gas transfer moments via the pointwise-E' path: (T, L+1, G).
+
+    bounds must be FINITE (the driver windows them to the reachable range);
+    rows normalize against the same-model sigma_eff quadrature, so
+    sum_g f0 = (mass inside [bounds_0, bounds_G]) — pass a covering window
+    to preserve normalization.
+    """
+    dtype = e.dtype
+    ng = bounds.shape[0] - 1
+    v = jnp.sqrt(e)  # (T,)
+    awr = jnp.broadcast_to(jnp.asarray(awr, dtype=dtype), e.shape)
+    kt = jnp.broadcast_to(jnp.asarray(kt, dtype=dtype), e.shape)
+    gamma = awr / (awr + 1.0)
+    beta = jnp.sqrt(awr / kt)
+    inv_beta = 1.0 / beta
+    a_ratio = (awr + 1.0) / awr
+    tt = e.shape[0]
+
+    sb = jnp.sqrt(jnp.maximum(bounds, 0.0))  # (G+1,) finite
+
+    # --- outgoing panels in y: group boundaries + the cusp at y = v, plus
+    # graded ladders resolving the thermal spike around y = v and the
+    # smeared 0K down-scatter edge at y = sqrt(alpha) v (coarse group panels
+    # would otherwise straddle the entire kernel support)
+    delta = 2.0 * gamma * inv_beta  # thermal smearing width in y
+    lad = jnp.asarray(np.array([-32.0, -16.0, -8.0, -4.0, -2.0, -1.0, -0.5, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0]), dtype=dtype)
+    y_alpha = v * jnp.abs(awr - 1.0) / (awr + 1.0)
+    extra = jnp.concatenate(
+        [
+            v[:, None] + delta[:, None] * lad[None, :],
+            y_alpha[:, None] + delta[:, None] * lad[None, :],
+            jnp.stack([v, y_alpha], axis=1),
+        ],
+        axis=1,
+    )
+    extra = jnp.clip(extra, sb[0], sb[-1])
+    y_edges = jnp.sort(
+        jnp.concatenate([jnp.broadcast_to(sb, (tt, ng + 1)), extra], axis=1), axis=1
+    )  # (T, G+1+30)
+    npan = y_edges.shape[1] - 1
+    xg, wg = gl_nodes_weights(nq_g)
+    xg = jnp.asarray(xg, dtype=dtype)
+    wg = jnp.asarray(wg, dtype=dtype)
+    pmid = 0.5 * (y_edges[:, 1:] + y_edges[:, :-1])  # (T, P)
+    phalf = 0.5 * (y_edges[:, 1:] - y_edges[:, :-1])
+    # panel -> group classification by midpoint
+    pg = jnp.clip(jnp.searchsorted(bounds, pmid**2, side="right") - 1, 0, ng - 1)  # (T, P)
+
+    xr, wr = gl_nodes_weights(nq_r)
+    xr = jnp.asarray(xr, dtype=dtype)
+    wr = jnp.asarray(wr, dtype=dtype)
+    xc, wc = gl_nodes_weights(nq_c)
+    xc = jnp.asarray(xc, dtype=dtype)
+    wc = jnp.asarray(wc, dtype=dtype)
+
+    lo_r_dom = jnp.maximum(v - 8.0 * inv_beta, 0.0)
+    hi_r_dom = v + 8.0 * inv_beta
+    ladder = jnp.asarray(_VR_OFFSETS, dtype=dtype)  # 11 offsets
+
+    n_chunks = -(-npan // chunk)
+    pad_p = n_chunks * chunk
+    pmid_p = jnp.pad(pmid, ((0, 0), (0, pad_p - npan)))
+    phalf_p = jnp.pad(phalf, ((0, 0), (0, pad_p - npan)))  # padded panels: half=0 -> zero weight
+    chunk_ids = jnp.arange(n_chunks) * chunk
+
+    offs_c = jnp.asarray(_VCM_OFFSETS, dtype=dtype)
+
+    def body(carry, c0):
+        acc = carry  # (T, P_pad, L+1) accumulated panel integrals
+        pm = jax.lax.dynamic_slice_in_dim(pmid_p, c0, chunk, axis=1)  # (T, PC)
+        ph = jax.lax.dynamic_slice_in_dim(phalf_p, c0, chunk, axis=1)
+        y = (pm[:, :, None] + ph[:, :, None] * xg[None, None, :]).reshape(tt, chunk * nq_g)  # (T, NY)
+        wy = (ph[:, :, None] * wg[None, None, :]).reshape(tt, chunk * nq_g) * 2.0 * y  # dE' = 2y dy
+        ny = chunk * nq_g
+
+        # per-(row, y) outer v_r edges: Maxwellian ladder + 3 closed-form kinks
+        base_e = (v[:, None] + inv_beta[:, None] * ladder[None, :])[:, None, :]  # (T,1,11)
+        base_e = jnp.broadcast_to(base_e, (tt, ny, ladder.shape[0]))
+        g2 = (2.0 * gamma)[:, None]
+        kinks = jnp.stack(
+            [y / gamma[:, None], (v[:, None] - y) / g2, (v[:, None] + y) / g2], axis=-1
+        )  # (T, NY, 3)
+
+        # C-ladder layout transitions: vstar(vr) crossing the C-domain ends
+        # |y - u|, y + u, |v - u|, v + u — quadratic roots
+        #   (A/(A+1)) vr^2 -+ 2 z gamma vr + z^2 - v^2/(A+1) = 0, z in {y, v}
+        a2 = (awr / (awr + 1.0))[:, None]  # (T,1)
+        vsc = (v**2 / (awr + 1.0))[:, None]
+        root_parts = []
+        for z in (y, jnp.broadcast_to(v[:, None], y.shape)):
+            for sgn in (-1.0, 1.0):
+                bq = sgn * 2.0 * z * gamma[:, None]
+                disc = bq**2 - 4.0 * a2 * (z**2 - vsc)
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                root_parts.append((-bq + sq) / (2.0 * a2))
+                root_parts.append((-bq - sq) / (2.0 * a2))
+        vkinks = jnp.stack(root_parts, axis=-1)  # (T, NY, 8)
+
+        edges_r = jnp.sort(
+            jnp.clip(
+                jnp.concatenate([base_e, kinks, vkinks], axis=-1),
+                lo_r_dom[:, None, None],
+                hi_r_dom[:, None, None],
+            ),
+            axis=-1,
+        )  # (T, NY, 22)
+        nrp = edges_r.shape[-1] - 1
+
+        dsig = [jnp.zeros((tt, ny), dtype=dtype) for _ in range(order + 1)]
+        for rp in range(nrp):
+            rmid = 0.5 * (edges_r[..., rp + 1] + edges_r[..., rp])  # (T, NY)
+            rhalf = 0.5 * (edges_r[..., rp + 1] - edges_r[..., rp])
+            vr = rmid[..., None] + rhalf[..., None] * xr  # (T, NY, QR)
+            w_r = rhalf[..., None] * wr
+            u = gamma[:, None, None] * vr
+            lo_c = jnp.maximum(jnp.abs(y[..., None] - u), jnp.abs(v[:, None, None] - u))
+            hi_c = jnp.minimum(y[..., None] + u, v[:, None, None] + u)
+            ok_rc = hi_c > lo_c
+            # graded C nodes inside [lo_c, hi_c]
+            vstar2 = (v**2 / (awr + 1.0))[:, None, None] - (awr / (awr + 1.0) ** 2)[
+                :, None, None
+            ] * vr**2
+            vstar = jnp.sqrt(jnp.maximum(vstar2, 0.0))
+            anchor = jnp.clip(vstar, lo_c, hi_c)
+            w_quad = (1.0 / (beta * jnp.sqrt(a_ratio)))[:, None, None]
+            w_lin = 1.0 / ((beta**2 * 2.0 * a_ratio)[:, None, None] * jnp.maximum(anchor, 1e-30))
+            g_q = jnp.clip(anchor[..., None] + w_quad[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
+            g_l = jnp.clip(anchor[..., None] + w_lin[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
+            edges_c = jnp.sort(
+                jnp.concatenate([lo_c[..., None], g_q, g_l, hi_c[..., None]], axis=-1), axis=-1
+            )  # (T, NY, QR, EC)
+            cmid = 0.5 * (edges_c[..., 1:] + edges_c[..., :-1])
+            chalf = 0.5 * (edges_c[..., 1:] - edges_c[..., :-1])
+            cc = (cmid[..., None] + chalf[..., None] * xc).reshape(tt, ny, nq_r, -1)  # (T,NY,QR,C)
+            w_c = (chalf[..., None] * wc).reshape(tt, ny, nq_r, -1)
+
+            v2_ = (v**2)[:, None, None, None]
+            u4 = u[..., None]
+            vsq = (
+                -v2_ / awr[:, None, None, None]
+                + (vr**2)[..., None] / (awr + 1.0)[:, None, None, None]
+                + cc**2 * a_ratio[:, None, None, None]
+            )
+            wgt = (
+                (vr**2)[..., None]
+                * cc
+                * jnp.exp(-(beta**2)[:, None, None, None] * vsq)
+                * w_c
+                * w_r[..., None]
+                * ok_rc[..., None]
+            )
+            # guard the PRODUCTS (individual factors can underflow to 0
+            # jointly on masked/padded cells, giving 0/0 NaN that would
+            # poison the 0-weight multiply)
+            dens = wgt / jnp.maximum(4.0 * cc * u4, 1e-300)  # x E'-density 1/(4 C u)
+            c_a = jnp.clip(
+                (v2_ + cc**2 - u4**2) / jnp.maximum(2.0 * v[:, None, None, None] * cc, 1e-300),
+                -1.0,
+                1.0,
+            )
+            c_b = jnp.clip(
+                ((y**2)[..., None, None] + cc**2 - u4**2)
+                / jnp.maximum(2.0 * y[..., None, None] * cc, 1e-300),
+                -1.0,
+                1.0,
+            )
+            pa_prev = jnp.ones_like(c_a)
+            pb_prev = jnp.ones_like(c_b)
+            dsig[0] = dsig[0] + jnp.sum(dens, axis=(2, 3))
+            if order >= 1:
+                pa_cur, pb_cur = c_a, c_b
+                dsig[1] = dsig[1] + jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3))
+                for l in range(1, order):
+                    pa_next = ((2 * l + 1) * c_a * pa_cur - l * pa_prev) / (l + 1)
+                    pb_next = ((2 * l + 1) * c_b * pb_cur - l * pb_prev) / (l + 1)
+                    pa_prev, pa_cur = pa_cur, pa_next
+                    pb_prev, pb_cur = pb_cur, pb_next
+                    dsig[l + 1] = dsig[l + 1] + jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3))
+
+        # panel integrals for this chunk: sum GL points per panel
+        vals = jnp.stack(dsig, axis=-1) * wy[..., None]  # (T, NY, L+1)
+        vals = vals.reshape(tt, chunk, nq_g, order + 1).sum(axis=2)  # (T, PC, L+1)
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            acc, jax.lax.dynamic_slice_in_dim(acc, c0, chunk, axis=1) + vals, c0, axis=1
+        )
+        return acc, None
+
+    init = jnp.zeros((tt, pad_p, order + 1), dtype=dtype) + (0.0 * e)[:, None, None]
+    panel_vals, _ = jax.lax.scan(body, init, chunk_ids)
+
+    # normalization: same-weight 2D quadrature over the FULL domain
+    vr0 = jnp.maximum(v[:, None] + inv_beta[:, None] * ladder[None, :], 0.0)
+    edges0 = jnp.sort(vr0, axis=1)
+    m0 = 0.5 * (edges0[:, 1:] + edges0[:, :-1])
+    h0 = 0.5 * (edges0[:, 1:] - edges0[:, :-1])
+    xr8, wr8 = gl_nodes_weights(8)
+    vrn = (m0[:, :, None] + h0[:, :, None] * jnp.asarray(xr8, dtype=dtype)).reshape(tt, -1)
+    wrn = (h0[:, :, None] * jnp.asarray(wr8, dtype=dtype)).reshape(tt, -1)
+    un = gamma[:, None] * vrn
+    ccn, wcn = _vcm_panel_nodes(
+        jnp.broadcast_to(v[:, None], vrn.shape), vrn, un, awr[:, None], beta[:, None], xc, wc
+    )
+    v2n = (v**2)[:, None, None]
+    vsqn = (
+        -v2n / awr[:, None, None]
+        + (vrn**2)[..., None] / (awr + 1.0)[:, None, None]
+        + ccn**2 * a_ratio[:, None, None]
+    )
+    n_full = jnp.sum(
+        (vrn**2)[..., None] * ccn * jnp.exp(-(beta**2)[:, None, None] * vsqn) * wcn * wrn[..., None],
+        axis=(1, 2),
+    )
+    n_full = jnp.where(n_full > 0, n_full, 1.0)
+
+    # scatter panels -> groups
+    pgp = jnp.pad(pg, ((0, 0), (0, pad_p - npan)))
+    def row_scatter(vals_row, g_row):
+        return jnp.zeros((ng, order + 1), dtype=vals_row.dtype).at[g_row].add(vals_row)
+
+    out = jax.vmap(row_scatter)(panel_vals, pgp)  # (T, G, L+1)
+    return jnp.swapaxes(out, 1, 2) / n_full[:, None, None]

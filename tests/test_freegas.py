@@ -126,3 +126,22 @@ def test_driver_applies_freegas():
     assert np.all(scatter[:, n1 + 50 :] == 0)
     # the two temperatures differ on thermal rows
     assert np.any(scatter[0, :n1] != scatter[1, :n1])
+
+
+def test_pointwise_matches_grouped_on_fine_window():
+    """The fine-structure (pointwise-E') kernel agrees with the exact grouped
+    kernel on a moderately fine window at its documented accuracy."""
+    from ndpp_tpu.ops.freegas import freegas_moments_pointwise
+
+    g = groups.uniform_lethargy("fgfine", 60, 1e-5, 100.0)
+    bounds = g.bounds.copy()
+    bounds[0] = 0.0  # pointwise path takes finite clamped windows
+    for awr, e, tol in [(238.0, KT, 5e-6), (0.999167, KT, 5e-4)]:
+        v1 = np.asarray(
+            freegas_moments(jnp.asarray([e]), awr, KT, jnp.asarray(g.bounds), 2)
+        )[0]
+        v2 = np.asarray(
+            freegas_moments_pointwise(jnp.asarray([e]), awr, KT, jnp.asarray(bounds), 2, nq_g=8, nq_r=8, nq_c=8)
+        )[0]
+        assert np.abs(v2 - v1).max() / np.abs(v1).max() < tol, (awr, e)
+        assert abs(v2[0].sum() - 1.0) < 1e-4
