@@ -133,7 +133,9 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 muk = prep.mu_knots
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
-        tile, spans = _tiles(ne, _CONTINUUM_TILE)
+        # fine structures: smaller tiles keep the scanned program within the
+        # worker's appetite (tile-256 x 361-group cm programs faulted it)
+        tile, spans = _tiles(ne, _CONTINUUM_TILE if gs.ng <= 64 else 64)
         pending = []
         for start, length in spans:
             sl = slice(start, start + length)

@@ -127,6 +127,9 @@ def cm_moments(
     dtype = e.dtype
     ng = bounds.shape[0] - 1
     eff = _effective_bounds(bounds, clamp)
+    # finite clamp sentinels: TPU's emulated f64 returns NaN for sqrt(inf)
+    # (verified on hardware), and `disc` below goes through a sqrt
+    eff = jnp.clip(eff, -1e30, 1e30)
     s = jnp.sqrt(e) / (awr + 1.0)  # (T,) CM-motion speed scale (sqrt-energy units)
 
     if energy == "nbody":
@@ -136,8 +139,12 @@ def cm_moments(
         )
         e_knots = nbody_emax[:, None] * jnp.asarray(np.concatenate([[0.0], ladder]), dtype=dtype)[None, :]
         # normalization: int_0^emax sqrt(x)(emax-x)^k dx = emax^(k+1.5) B(1.5, k+1)
+        # Below-threshold rows have emax <= 0: zero them instead of dividing
+        # by an underflowed power (1e-300**2 -> 0 -> inf -> NaN cascade).
         beta = float(sps.beta(1.5, float(nbody_expo) + 1.0))
-        c_norm = 1.0 / (beta * jnp.maximum(nbody_emax, 1e-300) ** (nbody_expo + 1.5))  # (T,)
+        emax_ok = nbody_emax > 0.0
+        emax_safe = jnp.where(emax_ok, nbody_emax, 1.0)
+        c_norm = jnp.where(emax_ok, 1.0 / (beta * emax_safe ** (nbody_expo + 1.5)), 0.0)  # (T,)
 
     ke = e_knots.shape[1]
     y_lo = jnp.sqrt(jnp.maximum(e_knots[:, 0], 0.0))

@@ -1,0 +1,87 @@
+"""Pallas TPU kernel: fused two-body subinterval-moment evaluation (f32 path).
+
+The hot inner stage of ops.twobody.twobody_moments — per (row, subinterval):
+GL nodes, affine pdf, kinematics, Legendre recurrence, q-reduction — fused
+into VMEM so no (T, Q, S) intermediate ever touches HBM. This is the
+throughput path (device.precision = "f32", ~1e-6 moment accuracy); the
+accurate path stays XLA f64. Layout: rows in sublanes, subintervals in
+lanes (S padded to 128), Q and L unrolled as static loops.
+
+Edges/coefficients are prepared by the same XLA prologue as the reference
+kernel (sort + breakpoint algebra are cheap and stay fused upstream).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ndpp_tpu.ops.legendre import gl_nodes_weights
+
+_ROW_TILE = 8  # sublane tile
+
+
+def _inner_kernel(order: int, nq: int, xq: np.ndarray, wq: np.ndarray):
+    def kernel(mid_ref, half_ref, a_ref, b_ref, kin_ref, out_ref):
+        mid = mid_ref[:]  # (R, S)
+        half = half_ref[:]
+        a = a_ref[:]
+        b = b_ref[:]
+        base = kin_ref[:, 0:1]  # (R, 1) broadcast over lanes
+        slope = kin_ref[:, 1:2]
+        sqecm = kin_ref[:, 2:3]
+        sqe_ap1 = kin_ref[:, 3:4]
+
+        acc = [jnp.zeros_like(mid) for _ in range(order + 1)]
+        for q in range(nq):
+            mu = mid + half * xq[q]
+            pdf = a + b * mu
+            elab = base + slope * mu
+            inv = jax.lax.rsqrt(jnp.maximum(elab, 1e-30))
+            mul = jnp.clip((mu * sqecm + sqe_ap1) * inv, -1.0, 1.0)
+            w = pdf * (wq[q])
+            p_prev = jnp.ones_like(mul)
+            acc[0] = acc[0] + w
+            if order >= 1:
+                p_cur = mul
+                acc[1] = acc[1] + w * p_cur
+                for l in range(1, order):
+                    p_next = ((2 * l + 1) * mul * p_cur - l * p_prev) / (l + 1)
+                    p_prev, p_cur = p_cur, p_next
+                    acc[l + 1] = acc[l + 1] + w * p_cur
+        for l in range(order + 1):
+            out_ref[:, l, :] = acc[l] * half
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("order", "nq", "interpret"))
+def twobody_inner_pallas(mid, half, a_s, b_s, kin, order: int, nq: int = 16, interpret: bool = False):
+    """m_{l,s} = sum_q w_q pdf(mu_q) P_l(mu_lab(mu_q)) * half  — (T, L+1, S).
+
+    mid/half/a_s/b_s: (T, S) f32 (S padded to a multiple of 128);
+    kin: (T, 4) f32 rows [base, slope, sqrt(ecm), sqrt(e)/(A+1)].
+    """
+    t, s = mid.shape
+    assert s % 128 == 0, "pad the subinterval axis to a multiple of 128"
+    assert t % _ROW_TILE == 0, "pad rows to a multiple of the row tile"
+    xq, wq = gl_nodes_weights(nq)
+    kernel = _inner_kernel(order, nq, xq.astype(np.float32), wq.astype(np.float32))
+    grid = (t // _ROW_TILE,)
+    row_spec = pl.BlockSpec((_ROW_TILE, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kin_spec = pl.BlockSpec((_ROW_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_ROW_TILE, order + 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, order + 1, s), mid.dtype),
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, row_spec, kin_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(mid, half, a_s, b_s, kin)

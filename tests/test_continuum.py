@@ -71,3 +71,29 @@ def test_normalization_properties():
         dev = _driver_moments(nuc, rxn, e_sel, G12, order=2)
         np.testing.assert_allclose(dev[:, 0, :].sum(axis=1), 1.0, rtol=1e-8, err_msg=fixture)
         assert np.all(np.abs(dev[:, 1:, :].sum(axis=2)) <= dev[:, 0, :].sum(axis=1)[:, None] + 1e-10)
+
+
+def test_fine_structure_aggregates_to_coarse():
+    """Capped fine-G path (kink decimation + reduced outer order) must agree
+    with the exact coarse path after aggregating nested groups (96 -> 12)."""
+    G96 = groups.uniform_lethargy("ul-96", 96, 1.0, 2.0e7)
+    nuc = synth.build("kalbach")
+    rxn = nuc.reactions[91]
+    e_sel = np.array([5e6, 1.5e7])
+    fine = _driver_moments(nuc, rxn, e_sel, G96, order=2)  # uses capped path (G > 64)
+    coarse = _driver_moments(nuc, rxn, e_sel, G12, order=2)  # exact path
+    agg = fine.reshape(fine.shape[0], fine.shape[1], 12, 8).sum(axis=-1)
+    scale = np.abs(coarse).max()
+    np.testing.assert_allclose(agg, coarse, rtol=5e-6, atol=5e-7 * scale)
+
+
+def test_below_threshold_rows_are_zero_not_nan():
+    """Sub-threshold incident rows through the CM engine must be exact zeros
+    (regression: emax<=0 nbody normalization underflowed to inf -> NaN,
+    poisoning the library and faulting the TPU worker)."""
+    nuc = synth.build("nbody")
+    rxn = nuc.reactions[16]
+    mom = _driver_moments(nuc, rxn, np.array([1e3, 1e6, 5e6]), G12, order=2)
+    assert not np.isnan(mom).any()
+    assert np.all(mom[:2] == 0.0)
+    assert abs(mom[2, 0].sum() - 1.0) < 1e-8

@@ -1,0 +1,51 @@
+"""Pallas fused two-body inner kernel vs the XLA reference math (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
+from ndpp_tpu.ops.twobody_pallas import twobody_inner_pallas
+
+
+def _reference(mid, half, a_s, b_s, kin, order, nq):
+    xq, wq = gl_nodes_weights(nq)
+    base, slope, sqecm, sqap = (kin[:, i : i + 1, None] for i in range(4))
+    mu = mid[:, None, :] + half[:, None, :] * xq.astype(np.float64)[None, :, None]
+    pdf = a_s[:, None, :] + b_s[:, None, :] * mu
+    elab = base + slope * mu
+    mul = np.clip((mu * sqecm + sqap) / np.sqrt(np.maximum(elab, 1e-30)), -1, 1)
+    pl_ = np.asarray(legendre_all(jnp.asarray(mul), order))
+    w = pdf * wq[None, :, None] * half[:, None, :]
+    return np.einsum("tqs,tqsl->tls", w, pl_)
+
+
+def test_pallas_inner_matches_reference(rng):
+    t, s, order, nq = 16, 256, 5, 8
+    mid = rng.uniform(-0.9, 0.9, (t, s))
+    half = rng.uniform(0.0, 0.05, (t, s))
+    a_s = rng.uniform(0.1, 1.0, (t, s))
+    b_s = rng.uniform(-0.3, 0.3, (t, s))
+    kin = np.stack(
+        [
+            rng.uniform(0.5, 1.0, t),  # base
+            rng.uniform(0.05, 0.3, t),  # slope
+            rng.uniform(0.3, 1.0, t),  # sqrt(ecm)
+            rng.uniform(0.01, 0.2, t),  # sqrt(e)/(A+1)
+        ],
+        axis=1,
+    )
+    ref = _reference(mid, half, a_s, b_s, kin, order, nq)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    out = np.asarray(
+        twobody_inner_pallas(f32(mid), f32(half), f32(a_s), f32(b_s), f32(kin), order, nq, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6 * np.abs(ref).max())
+
+
+def test_pallas_shape_guards():
+    z = jnp.zeros((8, 100), jnp.float32)  # 100 not lane-aligned
+    with pytest.raises(AssertionError):
+        twobody_inner_pallas(z, z, z, z, jnp.zeros((8, 4), jnp.float32), 3, 8, interpret=True)
