@@ -62,6 +62,7 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         vmax = np.sqrt(cutoff)
         e_reach = 1.5 * (vmax + 2.0 * gamma * (vmax + 8.0 / beta)) ** 2
         w = int(np.clip(np.searchsorted(gs.bounds, e_reach), 1, gs.ng))
+        w = min(-(-w // 16) * 16, gs.ng)  # bucket the window so kernel shapes recur across nuclides
         bounds_w = jnp.asarray(gs.bounds[: w + 1])
 
         # modest thermal tiles: the kernel's scan program is large

@@ -97,3 +97,22 @@ def test_below_threshold_rows_are_zero_not_nan():
     assert not np.isnan(mom).any()
     assert np.all(mom[:2] == 0.0)
     assert abs(mom[2, 0].sum() - 1.0) < 1e-8
+
+
+def test_law1_and_law5_conversions():
+    """Laws 1 (equiprobable bins) and 5 (general evaporation) convert to the
+    tabular path; normalization and yield weighting verified."""
+    from ndpp_tpu.driver import reaction_yield
+
+    for fixture, mt in [("law1", 16), ("law5", 37)]:
+        nuc = synth.build(fixture)
+        rxn = nuc.reactions[mt]
+        thresh = nuc.energy[rxn.threshold_idx]
+        e_sel = np.array([thresh * 1.5, 1.5e7])
+        mom = _driver_moments(nuc, rxn, e_sel, G12, order=2)
+        np.testing.assert_allclose(mom[:, 0, :].sum(axis=1), 1.0, rtol=1e-8, err_msg=fixture)
+        assert np.all(mom[:, 1:, :] == 0.0)  # isotropic lab: no higher moments
+    # energy-dependent yield: |TYR|>100 table honored by the driver weighting
+    nuc = synth.build("law1")
+    y = reaction_yield(nuc.reactions[16], np.array([2.2e6, 2e7]), include_yield=True)
+    np.testing.assert_allclose(y, [1.2, 2.0], rtol=1e-12)
