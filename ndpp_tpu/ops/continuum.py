@@ -140,7 +140,7 @@ def cm_moments(
         e_knots = nbody_emax[:, None] * jnp.asarray(np.concatenate([[0.0], ladder]), dtype=dtype)[None, :]
         # normalization: int_0^emax sqrt(x)(emax-x)^k dx = emax^(k+1.5) B(1.5, k+1)
         # Below-threshold rows have emax <= 0: zero them instead of dividing
-        # by an underflowed power (1e-300**2 -> 0 -> inf -> NaN cascade).
+        # by an underflowed power (1e-30**2 -> 0 -> inf -> NaN cascade).
         beta = float(sps.beta(1.5, float(nbody_expo) + 1.0))
         emax_ok = nbody_emax > 0.0
         emax_safe = jnp.where(emax_ok, nbody_emax, 1.0)
@@ -209,7 +209,7 @@ def cm_moments(
             right = jnp.take_along_axis(mu_pdf, (j + 1)[:, None, None], axis=2)[:, :, 0]
             mk0 = jnp.take(mu_knots, j)
             mk1 = jnp.take(mu_knots, j + 1)
-            t_mu = jnp.clip((mu[:, 0] - mk0) / jnp.maximum(mk1 - mk0, 1e-300), 0.0, 1.0)
+            t_mu = jnp.clip((mu[:, 0] - mk0) / jnp.maximum(mk1 - mk0, 1e-30), 0.0, 1.0)
             pmu_k = left + t_mu[:, None] * (right - left)  # (T, KE) angular pdf at mu, per knot
             a_m, b_m = _affine_coeffs_rows(e_knots, pmu_k, mid)
             pa = a_m[:, None, :] + b_m[:, None, :] * x
@@ -218,7 +218,7 @@ def cm_moments(
 
         ylab = x + 2.0 * mu3 * s[:, None, None] * jnp.sqrt(jnp.maximum(x, 0.0)) + (s**2)[:, None, None]
         mu_lab = jnp.clip(
-            (mu3 * jnp.sqrt(jnp.maximum(x, 0.0)) + s[:, None, None]) / jnp.sqrt(jnp.maximum(ylab, 1e-300)),
+            (mu3 * jnp.sqrt(jnp.maximum(x, 0.0)) + s[:, None, None]) / jnp.sqrt(jnp.maximum(ylab, 1e-30)),
             -1.0,
             1.0,
         )

@@ -114,12 +114,12 @@ def _inner_closed_form(lo, hi, cc, u, order: int):
     for p in range(2, p_max + 1):
         pow_lo[p] = pow_lo[p - 1] * lo
         pow_hi[p] = pow_hi[p - 1] * hi
-    inv_lo = 1.0 / jnp.maximum(lo, 1e-300)
-    inv_hi = 1.0 / jnp.maximum(hi, 1e-300)
+    inv_lo = 1.0 / jnp.maximum(lo, 1e-30)
+    inv_hi = 1.0 / jnp.maximum(hi, 1e-30)
     for p in range(-1, p_min - 1, -1):
         pow_lo[p] = pow_lo[p + 1] * inv_lo
         pow_hi[p] = pow_hi[p + 1] * inv_hi
-    log_diff = jnp.log(jnp.maximum(hi, 1e-300)) - jnp.log(jnp.maximum(lo, 1e-300))
+    log_diff = jnp.log(jnp.maximum(hi, 1e-30)) - jnp.log(jnp.maximum(lo, 1e-30))
 
     out = []
     from math import comb
@@ -224,7 +224,9 @@ def freegas_moments(e, awr, kt, bounds, order: int, nq_r: int = 8, nq_c: int = 1
 
         v2 = (v**2)[:, None]
         vsq = -v2 / awr[:, None] + (vr**2)[:, None] / (awr + 1.0)[:, None] + cc**2 * a_ratio[:, None]
-        weight = (vr**2)[:, None] * cc * jnp.exp(-(beta**2)[:, None] * vsq) * w_c * w_r[:, None]  # (T, C)
+        weight = (
+            (vr**2)[:, None] * cc * jnp.exp(jnp.minimum(-(beta**2)[:, None] * vsq, 0.0)) * w_c * w_r[:, None]
+        )  # (T, C); exponent clamped: see pointwise kernel note
 
         c_a = jnp.clip((v2 + cc**2 - (u**2)[:, None]) / (2.0 * v[:, None] * cc), -1.0, 1.0)
         pl_a = legendre_all(c_a, order)  # (T, C, L+1)
@@ -291,7 +293,7 @@ def freegas_sigma_eff_ratio(e, awr, kt, nq_r: int = 8, nq_c: int = 8):
     cc, w_c = _vcm_panel_nodes(jnp.broadcast_to(v[:, None, None], vr.shape), vr, u, awr, beta, xc, wc)
     v2 = (v**2)[:, None, None, None]
     vsq = -v2 / awr + (vr**2)[..., None] / (awr + 1.0) + cc**2 * a_ratio
-    wgt = (vr**2)[..., None] * cc * jnp.exp(-(beta**2) * vsq) * w_c * w_r[..., None]
+    wgt = (vr**2)[..., None] * cc * jnp.exp(jnp.minimum(-(beta**2) * vsq, 0.0)) * w_c * w_r[..., None]
     # vbar_r = int f(V) v_r d3V = (2 beta^3 / (sqrt(pi) gamma v)) * N_full
     # (the weight already carries the v_r rate factor via the v_r^2 Jacobian
     # times rate); sigma_eff/sigma_free = vbar_r / v.
@@ -466,10 +468,13 @@ def freegas_moments_pointwise(
                 + (vr**2)[..., None] / (awr + 1.0)[:, None, None, None]
                 + cc**2 * a_ratio[:, None, None, None]
             )
+            # clamp the exponent at 0: vsq >= 0 for every VALID cell, but
+            # masked/padded cells can see vsq ~ -v^2/A, and exp overflows the
+            # f32-range emulated f64 on TPU (inf * 0-mask = NaN)
             wgt = (
                 (vr**2)[..., None]
                 * cc
-                * jnp.exp(-(beta**2)[:, None, None, None] * vsq)
+                * jnp.exp(jnp.minimum(-(beta**2)[:, None, None, None] * vsq, 0.0))
                 * w_c
                 * w_r[..., None]
                 * ok_rc[..., None]
@@ -477,15 +482,15 @@ def freegas_moments_pointwise(
             # guard the PRODUCTS (individual factors can underflow to 0
             # jointly on masked/padded cells, giving 0/0 NaN that would
             # poison the 0-weight multiply)
-            dens = wgt / jnp.maximum(4.0 * cc * u4, 1e-300)  # x E'-density 1/(4 C u)
+            dens = wgt / jnp.maximum(4.0 * cc * u4, 1e-30)  # x E'-density 1/(4 C u)
             c_a = jnp.clip(
-                (v2_ + cc**2 - u4**2) / jnp.maximum(2.0 * v[:, None, None, None] * cc, 1e-300),
+                (v2_ + cc**2 - u4**2) / jnp.maximum(2.0 * v[:, None, None, None] * cc, 1e-30),
                 -1.0,
                 1.0,
             )
             c_b = jnp.clip(
                 ((y**2)[..., None, None] + cc**2 - u4**2)
-                / jnp.maximum(2.0 * y[..., None, None] * cc, 1e-300),
+                / jnp.maximum(2.0 * y[..., None, None] * cc, 1e-30),
                 -1.0,
                 1.0,
             )
@@ -532,7 +537,7 @@ def freegas_moments_pointwise(
         + ccn**2 * a_ratio[:, None, None]
     )
     n_full = jnp.sum(
-        (vrn**2)[..., None] * ccn * jnp.exp(-(beta**2)[:, None, None] * vsqn) * wcn * wrn[..., None],
+        (vrn**2)[..., None] * ccn * jnp.exp(jnp.minimum(-(beta**2)[:, None, None] * vsqn, 0.0)) * wcn * wrn[..., None],
         axis=(1, 2),
     )
     n_full = jnp.where(n_full > 0, n_full, 1.0)

@@ -28,7 +28,7 @@ _ROW_TILE = 8  # sublane tile
 
 
 def _inner_kernel(order: int, nq: int, xq: np.ndarray, wq: np.ndarray):
-    def kernel(mid_ref, half_ref, a_ref, b_ref, kin_ref, out_ref):
+    def kernel(mid_ref, half_ref, a_ref, b_ref, kin_ref, *out_refs):
         mid = mid_ref[:]  # (R, S)
         half = half_ref[:]
         a = a_ref[:]
@@ -56,7 +56,7 @@ def _inner_kernel(order: int, nq: int, xq: np.ndarray, wq: np.ndarray):
                     p_prev, p_cur = p_cur, p_next
                     acc[l + 1] = acc[l + 1] + w * p_cur
         for l in range(order + 1):
-            out_ref[:, l, :] = acc[l] * half
+            out_refs[l][:] = acc[l] * half
 
     return kernel
 
@@ -73,15 +73,33 @@ def twobody_inner_pallas(mid, half, a_s, b_s, kin, order: int, nq: int = 16, int
     assert t % _ROW_TILE == 0, "pad rows to a multiple of the row tile"
     xq, wq = gl_nodes_weights(nq)
     kernel = _inner_kernel(order, nq, xq.astype(np.float32), wq.astype(np.float32))
-    grid = (t // _ROW_TILE,)
-    row_spec = pl.BlockSpec((_ROW_TILE, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kin_spec = pl.BlockSpec((_ROW_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_ROW_TILE, order + 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((t, order + 1, s), mid.dtype),
-        grid=grid,
-        in_specs=[row_spec, row_spec, row_spec, row_spec, kin_spec],
-        out_specs=out_spec,
-        interpret=interpret,
-    )(mid, half, a_s, b_s, kin)
+
+    # The axon remote compiler rejects GRIDDED pallas_calls (Mosaic
+    # 'func.return' legalization — client/terminal version skew), while
+    # grid-free programs compile fine. So: one grid-free program per
+    # VMEM-sized row chunk, mapped over chunks with lax.map.
+    chunk = _ROW_TILE
+    while chunk * 2 * s * 4 * (5 + order + 1) <= 8 * 1024 * 1024 and chunk < t:
+        chunk *= 2
+    chunk = min(chunk, t)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def one_chunk(args):
+        m_c, h_c, a_c, b_c, k_c = args
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct((chunk, s), mid.dtype) for _ in range(order + 1)),
+            in_specs=[vspec] * 5,
+            out_specs=tuple(vspec for _ in range(order + 1)),
+            interpret=interpret,
+        )(m_c, h_c, a_c, b_c, k_c)
+        return jnp.stack(outs, axis=1)  # (chunk, L+1, S)
+
+    if t == chunk:
+        return one_chunk((mid, half, a_s, b_s, kin))
+    n = t // chunk
+    if t % chunk:
+        raise AssertionError("row count must be a multiple of the chunk size")
+    resh = lambda x: x.reshape(n, chunk, *x.shape[1:])  # noqa: E731
+    out = jax.lax.map(one_chunk, (resh(mid), resh(half), resh(a_s), resh(b_s), resh(kin)))
+    return out.reshape(t, order + 1, s)
