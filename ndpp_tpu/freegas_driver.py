@@ -54,6 +54,22 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         if n_rows == 0:
             continue
         rows = slice(0, n_rows)
+
+        # Both the free-gas kernel shape and the 0K elastic kernel shape are
+        # SMOOTH in E (resonance structure lives only in the sigma weights,
+        # which multiply outside this correction), so dense union grids are
+        # evaluated on a bounded log-subgrid and the correction is
+        # lin-log-interpolated back onto the full rows. Caps cost AND avoids
+        # multi-thousand-row thermal batches (which overwhelmed the worker).
+        max_rows = 256
+        if n_rows > max_rows:
+            sub_idx = np.unique(
+                np.round(np.linspace(0, n_rows - 1, max_rows)).astype(int)
+            )
+            e_sub = e_grid[sub_idx]
+        else:
+            sub_idx = None
+            e_sub = e_grid[rows]
         # Group WINDOW: the free-gas kernel's cost scales with the number of
         # boundaries it inserts exact breakpoints for; only groups reachable
         # from thermal energies matter. E'_max ~ (v + 2 gamma (v + 8/beta))^2.
@@ -66,22 +82,26 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         bounds_w = jnp.asarray(gs.bounds[: w + 1])
 
         # modest thermal tiles: the kernel's scan program is large
-        tile = driver_mod._pow2_at_most(n_rows, 64)
-        ffg = np.zeros((n_rows, order + 1, gs.ng))
+        ns = e_sub.size
+        tile = driver_mod._pow2_at_most(ns, 64)
+        ffg = np.zeros((ns, order + 1, gs.ng))
         pending = []
         # Kernel choice (docs/design.md): the grouped kernel is exact
         # (~1e-9) but its exact-breakpoint families scale with the window
         # size; past ~48 boundaries the pointwise-E' kernel takes over
         # (A-dependent ~1e-5..1e-7 quadrature accuracy; the round-2 plan is
         # analytic inner integrals to restore 1e-8 at fine structures).
-        use_pointwise = w > 48
+        # The grouped kernel's order>=4 program faults the axon TPU worker
+        # (hardware-side; order 3 is fine and CPU runs all orders) — route
+        # high orders through the pointwise kernel as containment.
+        use_pointwise = w > 48 or order >= 4
         if use_pointwise:
             bw = gs.bounds[: w + 1].copy()
             if cfg.clamp_outside:
                 bw[0] = 0.0
             bounds_pw = jnp.asarray(bw)
-        for start, length in unionize.tile_indices(n_rows, tile):
-            e_t = unionize.pad_to(e_grid[start : start + length], tile)
+        for start, length in unionize.tile_indices(ns, tile):
+            e_t = unionize.pad_to(e_sub[start : start + length], tile)
             if use_pointwise:
                 part = freegas_moments_pointwise(
                     jnp.asarray(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
@@ -91,14 +111,28 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
                     jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside
                 )
             pending.append((start, length, part))
+            if len(pending) >= 2:  # bound the queued device work
+                st, ln, pt = pending.pop(0)
+                ffg[st : st + ln, :, :w] = np.asarray(pt)[:ln]
         for start, length, part in pending:
             ffg[start : start + length, :, :w] = np.asarray(part)[:length]
 
         # 0K elastic moments on the same rows (shape-consistent subtraction)
         f0k = driver_mod._tiled_twobody(
-            nuc, nuc.elastic, e_grid[rows], gs.bounds, order, cfg.device.quad_points, tile, None, cfg.clamp_outside
+            nuc, nuc.elastic, e_sub, gs.bounds, order, cfg.device.quad_points, tile, None, cfg.clamp_outside
         )
-        scatter[k, rows] = scatter[k, rows] + w_el[rows, None, None] * (ffg - f0k)
+        corr = ffg - f0k  # (ns, L+1, G) smooth in E
+        if sub_idx is not None:
+            full = np.empty((n_rows, order + 1, gs.ng))
+            loge_sub = np.log(np.maximum(e_sub, 1e-300))
+            loge = np.log(np.maximum(e_grid[rows], 1e-300))
+            flat = corr.reshape(ns, -1)
+            interp = np.empty((n_rows, flat.shape[1]))
+            for j in range(flat.shape[1]):
+                interp[:, j] = np.interp(loge, loge_sub, flat[:, j])
+            full = interp.reshape(n_rows, order + 1, gs.ng)
+            corr = full
+        scatter[k, rows] = scatter[k, rows] + w_el[rows, None, None] * corr
         if metrics is not None:
             metrics.moments_computed += ffg.size
         log.debug(

@@ -109,13 +109,23 @@ def _inner_closed_form(lo, hi, cc, u, order: int):
     # powers y^p for p in [2 - lmax, lmax + 2]
     p_min = min(2 - lmax, 1)
     p_max = lmax + 2
+    # Floor the lower limit so the Laurent terms (1/lo)^(order-2) stay inside
+    # the f32-RANGE of TPU-emulated f64 (~3.4e38; 1/1e-15 cubed faulted the
+    # worker at order 5). Physically this drops outgoing energies below
+    # ~(floor)^2 eV — utterly negligible.
+    if lmax > 2:
+        lo_floor = 10.0 ** (-min(30.0 / (lmax - 2), 12.0))
+    else:
+        lo_floor = 1e-12
+    lo = jnp.maximum(lo, lo_floor)
+    hi = jnp.maximum(hi, lo)
     pow_lo = {0: jnp.ones_like(lo), 1: lo}
     pow_hi = {0: jnp.ones_like(hi), 1: hi}
     for p in range(2, p_max + 1):
         pow_lo[p] = pow_lo[p - 1] * lo
         pow_hi[p] = pow_hi[p - 1] * hi
-    inv_lo = 1.0 / jnp.maximum(lo, 1e-30)
-    inv_hi = 1.0 / jnp.maximum(hi, 1e-30)
+    inv_lo = 1.0 / lo
+    inv_hi = 1.0 / hi
     for p in range(-1, p_min - 1, -1):
         pow_lo[p] = pow_lo[p + 1] * inv_lo
         pow_hi[p] = pow_hi[p + 1] * inv_hi
