@@ -26,20 +26,22 @@ FISSION_MTS = (18, 19, 20, 21, 38)
 
 
 def _law_fractions(prep, gs, cfg) -> np.ndarray:
-    """(NE, G) group fractions of one law's energy pdf."""
+    """(NE, G) group fractions of one law's energy pdf (row-sharded dispatch)."""
+    from ndpp_tpu.parallel import rows as rows_mod
+
     ne = prep.e.size
-    bounds = jnp.asarray(gs.bounds)
+    bounds = rows_mod.put_replicated(gs.bounds)
     clamp = cfg.clamp_outside
     out = np.zeros((ne, gs.ng))
     if prep.kind == "lab-analytic":
-        tile = 4096
+        nd = max(rows_mod.ndev(), 1)
+        tile = min(4096, -(-ne // nd)) * nd
         pending = []
         for start, length in unionize.tile_indices(ne, tile):
-            pad = min(tile, ne)
             frac = analytic_group_fractions(
-                jnp.asarray(unionize.pad_to(prep.e[start : start + length], pad)),
-                jnp.asarray(unionize.pad_to(prep.extra["theta"][start : start + length], pad)),
-                jnp.asarray(unionize.pad_to(prep.extra["b"][start : start + length], pad)),
+                rows_mod.put_rows(unionize.pad_to(prep.e[start : start + length], tile)),
+                rows_mod.put_rows(unionize.pad_to(prep.extra["theta"][start : start + length], tile)),
+                rows_mod.put_rows(unionize.pad_to(prep.extra["b"][start : start + length], tile)),
                 prep.extra["u"],
                 bounds,
                 prep.extra["law"],
@@ -51,16 +53,16 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
         return out
     if prep.e_knots is None:
         raise AceFormatError(f"chi: unsupported spectrum kind {prep.kind!r}")
-    tile = 1024
+    nd = max(rows_mod.ndev(), 1)
+    tile = min(1024, -(-ne // nd)) * nd
     k16 = -(-prep.e_knots.shape[1] // 16) * 16
     kn = unionize.pad_to(prep.e_knots, k16, axis=1)
     pd = unionize.pad_to(prep.pdf, k16, axis=1)
     pending = []
     for start, length in unionize.tile_indices(ne, tile):
-        pad = min(tile, ne)
         frac = tabular_group_fractions(
-            jnp.asarray(unionize.pad_to(kn[start : start + length], pad)),
-            jnp.asarray(unionize.pad_to(pd[start : start + length], pad)),
+            rows_mod.put_rows(unionize.pad_to(kn[start : start + length], tile)),
+            rows_mod.put_rows(unionize.pad_to(pd[start : start + length], tile)),
             bounds,
             clamp,
         )

@@ -57,6 +57,7 @@ class DeviceConfig:
     e_tile: int = 512
     quad_points: int = 16  # Gauss-Legendre points per subinterval
     mesh: Any = "auto"  # "auto" | [n_nuclide, n_e]
+    max_devices: int = 0  # chips used for row-sharded dispatch (0 = all visible)
     profile: bool = False
 
     def validate(self) -> None:
@@ -131,6 +132,7 @@ def _build(data: dict) -> RunConfig:
         e_tile=int(dev.get("e_tile", cfg.device.e_tile)),
         quad_points=int(dev.get("quad_points", cfg.device.quad_points)),
         mesh=dev.get("mesh", cfg.device.mesh),
+        max_devices=int(dev.get("max_devices", cfg.device.max_devices)),
         profile=bool(dev.get("profile", cfg.device.profile)),
     )
     cfg.validate()

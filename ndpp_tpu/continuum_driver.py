@@ -12,61 +12,57 @@ import numpy as np
 from ndpp_tpu.host import unionize
 from ndpp_tpu.host.prep_continuum import ContinuumPrepared, prepare_continuum
 from ndpp_tpu.ops.chi import analytic_group_fractions
-from ndpp_tpu.ops.continuum import cm_moments, lab_tabular_moments
+from ndpp_tpu.ops.continuum import cm_moments_pointwise, lab_tabular_moments
 from ndpp_tpu.utils.errors import AceFormatError, NdppError
 
-_CONTINUUM_TILE = 256  # CM kernel materializes (T, S, QE, L+1); keep tiles modest
-
-# Outer-mu panel base edges for CM kernels: uniform panels plus geometric
-# clustering toward mu = -1, where the CM->lab fold (E'_lab -> small for
-# backward emission) creates a boundary layer that defeats uniform GL.
-_MU_GRADED = np.sort(np.unique(np.concatenate([np.linspace(-1.0, 1.0, 9), -1.0 + 2.0 * 0.25 ** np.arange(1, 11)])))
+_CONTINUUM_TILE = 256  # rows per device dispatch; compute is chunked in-kernel
 
 
-def _mu_panel_edges(
-    e_rows: np.ndarray, awr: float, bounds: np.ndarray, data_knots: np.ndarray | None
-) -> np.ndarray:
-    """Per-row outer-mu panel edges (T, PM+1), sorted, padded with +1.
+def _window_knot_bound(e_rows: np.ndarray, awr: float, e_knots: np.ndarray) -> int:
+    """Static bound on data knots inside any [|w-s|, w+s] window (ksel).
 
-    Includes the closed-form fold kink angles mu*_g = -sqrt(1 - E_b/s^2)
-    (s^2 = E/(A+1)^2) for every group boundary below s^2 — the outer-mu
-    integrand has a sqrt-type kink there (a lab group becomes reachable
-    through the backward fold), which would otherwise cap GL convergence.
+    The pointwise kernel's inner panels only ever span a y-window of width
+    2s (s = sqrt(E)/(A+1)); gathering just the knots that can fall inside
+    one window (plus the bracketing panel) keeps the inner edge count
+    independent of the full knot table. Bucketed to powers of two so kernel
+    shapes recur across tiles.
     """
-    base = _MU_GRADED
-    if data_knots is not None:
-        base = np.union1d(base, np.asarray(data_knots, dtype=np.float64))
-    ne = e_rows.size
-    # For fine structures the per-boundary fold kinks are individually tiny;
-    # cap the inserted set (decimate uniformly) so the outer scan length does
-    # not scale with G (the uncapped version scales O(G) panels and
-    # overwhelmed the worker at 361 groups; exactness is retained for
-    # structures below the cap).
-    if bounds.size > 49:
-        idx = np.unique(np.linspace(0, bounds.size - 1, 49).astype(int))
-        bounds = bounds[idx]
-    s2 = e_rows / (awr + 1.0) ** 2  # (T,)
-    ratio = bounds[None, :] / np.maximum(s2[:, None], 1e-300)  # (T, <=49)
-    with np.errstate(invalid="ignore"):
-        mustar = -np.sqrt(np.clip(1.0 - ratio, 0.0, None))  # 0 where unreachable
-    mustar = np.where((ratio > 0.0) & (ratio < 1.0), mustar, 1.0)  # park dead entries at +1
-    edges = np.concatenate([np.broadcast_to(base, (ne, base.size)), mustar], axis=1)
-    return np.sort(edges, axis=1)
+    ke = e_knots.shape[1]
+    yk = np.sqrt(np.maximum(e_knots, 0.0))
+    s = np.sqrt(np.maximum(e_rows, 0.0)) / (awr + 1.0)
+    # per row: max count of knots within [yk_j, yk_j + 2s] over all j
+    need = 2
+    for r in range(e_rows.size):
+        hi = np.searchsorted(yk[r], yk[r] + 2.0 * s[r], side="right")
+        need = max(need, int((hi - np.arange(ke)).max()) + 2)  # + bracketing panels
+    if need >= ke - 1:
+        return 0  # full-knot path
+    k = 4
+    while k < need:
+        k *= 2
+    return min(k, ke)
 
 
 def _tiles(ne: int, cap: int):
+    """Dispatch tile size: one <=cap power-of-two kernel tile per device."""
+    from ndpp_tpu.parallel import rows as rows_mod
+
+    nd = max(rows_mod.ndev(), 1)
+    per = -(-ne // nd)
     tile = 1
-    while tile < ne and tile < cap:
+    while tile < per and tile < cap:
         tile *= 2
-    tile = min(tile, cap)
+    tile = min(tile, cap) * nd
     return tile, unionize.tile_indices(ne, tile)
 
 
 def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndarray:
     """(NE, L+1, G) for one law (unweighted)."""
+    from ndpp_tpu.parallel import rows as rows_mod
+
     ne = prep.e.size
     ng = gs.ng
-    bounds = jnp.asarray(gs.bounds)
+    bounds = rows_mod.put_replicated(gs.bounds)
     clamp = cfg.clamp_outside
     out = np.zeros((ne, order + 1, ng))
 
@@ -79,7 +75,8 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
             th_t = unionize.pad_to(prep.extra["theta"][start : start + length], tile)
             b_t = unionize.pad_to(prep.extra["b"][start : start + length], tile)
             frac = analytic_group_fractions(
-                jnp.asarray(e_t), jnp.asarray(th_t), jnp.asarray(b_t), prep.extra["u"], bounds, law, clamp
+                rows_mod.put_rows(e_t), rows_mod.put_rows(th_t), rows_mod.put_rows(b_t),
+                prep.extra["u"], bounds, law, clamp,
             )
             pending.append((start, length, frac))
         for start, length, frac in pending:
@@ -95,9 +92,9 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         pending = []
         for start, length in spans:
             res = lab_tabular_moments(
-                jnp.asarray(unionize.pad_to(kn[start : start + length], tile)),
-                jnp.asarray(unionize.pad_to(pd[start : start + length], tile)),
-                jnp.asarray(unionize.pad_to(mm[start : start + length], tile)),
+                rows_mod.put_rows(unionize.pad_to(kn[start : start + length], tile)),
+                rows_mod.put_rows(unionize.pad_to(pd[start : start + length], tile)),
+                rows_mod.put_rows(unionize.pad_to(mm[start : start + length], tile)),
                 bounds,
                 order,
                 8,
@@ -111,14 +108,13 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
     if prep.kind in ("cm-kalbach", "cm-tabular", "cm-nbody"):
         angular = {"cm-kalbach": "kalbach", "cm-tabular": "tabular", "cm-nbody": "isotropic"}[prep.kind]
         energy = "nbody" if prep.kind == "cm-nbody" else "tabular"
-        data_mu = prep.mu_knots if prep.kind == "cm-tabular" else None
-        mu_edges = _mu_panel_edges(prep.e, awr, gs.bounds, data_mu)
         if energy == "nbody":
             kn = pd = np.zeros((ne, 2))
             rr = aa = np.zeros((ne, 2))
             muk = np.array([-1.0, 1.0])
             mup = np.zeros((ne, 2, 2))
             emax = prep.nbody_emax
+            ksel = 0
         else:
             k16 = -(-prep.e_knots.shape[1] // 16) * 16
             kn = unionize.pad_to(prep.e_knots, k16, axis=1)
@@ -133,36 +129,35 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 muk = prep.mu_knots
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
-        # fine structures: smaller tiles keep the scanned program within the
-        # worker's appetite (tile-256 x 361-group cm programs faulted it)
-        tile, spans = _tiles(ne, _CONTINUUM_TILE if gs.ng <= 64 else 64)
+            ksel = _window_knot_bound(prep.e, awr, kn)
+        tile, spans = _tiles(ne, _CONTINUUM_TILE)
         pending = []
         for start, length in spans:
             sl = slice(start, start + length)
-            res = cm_moments(
-                jnp.asarray(unionize.pad_to(prep.e[sl], tile)),
-                jnp.asarray(unionize.pad_to(kn[sl], tile)),
-                jnp.asarray(unionize.pad_to(pd[sl], tile)),
-                jnp.asarray(unionize.pad_to(rr[sl], tile)),
-                jnp.asarray(unionize.pad_to(aa[sl], tile)),
-                jnp.asarray(unionize.pad_to(mu_edges[sl], tile)),
-                jnp.asarray(muk),
-                jnp.asarray(unionize.pad_to(mup[sl], tile)),
-                jnp.asarray(unionize.pad_to(emax[sl], tile)),
+            res = cm_moments_pointwise(
+                rows_mod.put_rows(unionize.pad_to(prep.e[sl], tile)),
+                rows_mod.put_rows(unionize.pad_to(kn[sl], tile)),
+                rows_mod.put_rows(unionize.pad_to(pd[sl], tile)),
+                rows_mod.put_rows(unionize.pad_to(rr[sl], tile)),
+                rows_mod.put_rows(unionize.pad_to(aa[sl], tile)),
+                rows_mod.put_replicated(muk),
+                rows_mod.put_rows(unionize.pad_to(mup[sl], tile)),
+                rows_mod.put_rows(unionize.pad_to(emax[sl], tile)),
                 float(prep.nbody_expo or 0.0),
                 bounds,
                 awr,
                 order,
-                max(cfg.device.quad_points, 16),
-                # outer-mu order: the nbody energy-ladder knots sweep many
-                # C^1 kinks through mu (convergence study in tests), so that
-                # path needs a higher outer order than the tabular laws.
-                # Fine group structures halve the order to bound the scan
-                # length (panel count already grows with the mu-kink cap).
-                (64 if energy == "nbody" else 24) if gs.ng <= 64 else (32 if energy == "nbody" else 12),
+                # outer-w order: the tabulated-angle payload leaves mild C^1
+                # residue in the outer integrand (measured: nq_w=8 -> 8e-9,
+                # 16 -> 1.3e-9; nq_y is not the limiter); kalbach/nbody are
+                # ~1e-10 at 8
+                16 if angular == "tabular" else 8,
+                8,
                 angular,
                 energy,
                 clamp,
+                8,
+                ksel,
             )
             pending.append((sl, length, res))
         for sl, length, res in pending:

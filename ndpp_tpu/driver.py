@@ -69,19 +69,27 @@ def _pow2_at_most(n: int, cap: int) -> int:
 
 
 def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetrics | None, clamp: bool = True):
-    """Run the two-body kernel over fixed-size E-tiles; returns (NE, L+1, G)."""
+    """Run the two-body kernel over fixed-size E-tiles; returns (NE, L+1, G).
+
+    With >1 visible device each dispatch carries one kernel-tile of rows per
+    chip, sharded over the flat 'e' mesh (parallel.rows): the jitted kernel
+    partitions along rows with no collectives.
+    """
+    from ndpp_tpu.parallel import rows as rows_mod
+
     prep = prepare_twobody(nuc, rxn, e_grid)
     if metrics is not None:
         metrics.record_padding(prep.real_elements, prep.padded_elements)
     ne = e_grid.size
-    tile = _pow2_at_most(ne, tile)
+    nd = max(rows_mod.ndev(), 1)
+    tile = _pow2_at_most(-(-ne // nd), tile) * nd
     # pad the knot axis to a multiple of 16 so reactions with similar table
     # sizes share one compiled kernel
     k16 = -(-prep.knots.shape[1] // 16) * 16
     knots = unionize.pad_to(prep.knots, k16, axis=1)
     pdf = unionize.pad_to(prep.pdf, k16, axis=1)
     out = np.empty((ne, order + 1, bounds.size - 1))
-    b = jnp.asarray(bounds)
+    b = rows_mod.put_replicated(bounds)
     # dispatch every tile asynchronously, then gather: one tunnel round-trip
     # instead of one per tile
     pending = []
@@ -90,7 +98,8 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
         k_t = unionize.pad_to(knots[start : start + length], tile)
         p_t = unionize.pad_to(pdf[start : start + length], tile)
         res = twobody_moments(
-            jnp.asarray(e_t), jnp.asarray(k_t), jnp.asarray(p_t), b, prep.c1, prep.c2, prep.awr, order, nq, clamp
+            rows_mod.put_rows(e_t), rows_mod.put_rows(k_t), rows_mod.put_rows(p_t),
+            b, prep.c1, prep.c2, prep.awr, order, nq, clamp,
         )
         pending.append((start, length, res))
     for start, length, res in pending:
@@ -185,6 +194,12 @@ def run(cfg: RunConfig) -> RunMetrics:
     timers = PhaseTimers()
     metrics = RunMetrics()
     t0 = time.perf_counter()
+
+    from ndpp_tpu.parallel import rows as rows_mod
+
+    nd = rows_mod.configure(cfg.device.max_devices)
+    if nd > 1:
+        log.info("row-sharded dispatch over %d devices", nd)
 
     gs = cfg.group_structure()
     with timers.span("index"):

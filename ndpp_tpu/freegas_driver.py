@@ -79,11 +79,16 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         e_reach = 1.5 * (vmax + 2.0 * gamma * (vmax + 8.0 / beta)) ** 2
         w = int(np.clip(np.searchsorted(gs.bounds, e_reach), 1, gs.ng))
         w = min(-(-w // 16) * 16, gs.ng)  # bucket the window so kernel shapes recur across nuclides
-        bounds_w = jnp.asarray(gs.bounds[: w + 1])
+        from ndpp_tpu.parallel import rows as rows_pre
+
+        bounds_w = rows_pre.put_replicated(gs.bounds[: w + 1])
 
         # modest thermal tiles: the kernel's scan program is large
+        from ndpp_tpu.parallel import rows as rows_mod
+
         ns = e_sub.size
-        tile = driver_mod._pow2_at_most(ns, 64)
+        nd = max(rows_mod.ndev(), 1)
+        tile = driver_mod._pow2_at_most(-(-ns // nd), 64) * nd
         ffg = np.zeros((ns, order + 1, gs.ng))
         pending = []
         # Kernel choice (docs/design.md): the grouped kernel is exact
@@ -99,16 +104,16 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
             bw = gs.bounds[: w + 1].copy()
             if cfg.clamp_outside:
                 bw[0] = 0.0
-            bounds_pw = jnp.asarray(bw)
+            bounds_pw = rows_pre.put_replicated(bw)
         for start, length in unionize.tile_indices(ns, tile):
             e_t = unionize.pad_to(e_sub[start : start + length], tile)
             if use_pointwise:
                 part = freegas_moments_pointwise(
-                    jnp.asarray(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
+                    rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
                 )
             else:
                 part = freegas_moments(
-                    jnp.asarray(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside
+                    rows_mod.put_rows(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside
                 )
             pending.append((start, length, part))
             if len(pending) >= 2:  # bound the queued device work

@@ -8,22 +8,13 @@ lab_tabular_moments
   per-knot moments M_l (host.angular_moments). Sorted-edges + GL; the
   integrand is piecewise-quadratic, so modest GL order is exact.
 
-cm_moments
-  CM frame (Kalbach law 44, CM tabular law 61/4, N-body law 66):
-
-    f_{l,g'}(E) = int dmu p(mu|..) int dE'c p(E'c|E) P_l(mu_lab) 1[E'lab in g']
-
-  with E'lab = E'c + 2 mu s sqrt(E'c) + s^2, s = sqrt(E)/(A+1),
-  mu_lab = (mu sqrt(E'c) + s)/sqrt(E'lab).
-
-  Outer: fixed GL panels over mu (angular mu-knots as panel edges).
-  Inner: for each mu, E'lab is quadratic in y = sqrt(E'c), so each lab
-  group boundary maps to up to TWO closed-form E'c breakpoints (the
-  CM->lab fold for backward emission); sorted-edges over
-  (pdf knots + both root families) keeps every GL panel smooth and inside
-  one outgoing group. The outer integrand is C^1 (moving breakpoints),
-  handled by per-panel GL of configurable order — accuracy is test-tuned
-  against the adaptive oracle (SURVEY.md section 4.3).
+cm_moments_pointwise
+  CM frame (Kalbach law 44, CM tabular law 61/4, N-body law 66): the exact
+  (mu_cm, E'_cm) -> (E'_lab, y = sqrt(E'_cm)) change of variables — constant
+  Jacobian 1/s, no CM->lab fold, group classification exact by panel
+  construction, cost linear in the group count. See its docstring for the
+  full derivation; validated against the adaptive nested-quad oracle
+  (SURVEY.md section 4.3) at ~1e-10.
 """
 
 from __future__ import annotations
@@ -36,8 +27,8 @@ import scipy.special as sps
 import jax
 import jax.numpy as jnp
 
-from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
-from ndpp_tpu.ops.twobody import _affine_coeffs_rows, _interp_rows
+from ndpp_tpu.ops.legendre import gl_nodes_weights
+from ndpp_tpu.ops.twobody import _affine_coeffs_rows
 
 
 def _effective_bounds(bounds, clamp: bool):
@@ -46,6 +37,29 @@ def _effective_bounds(bounds, clamp: bool):
     lo = jnp.full((1,), -jnp.inf, dtype=bounds.dtype)
     hi = jnp.full((1,), jnp.inf, dtype=bounds.dtype)
     return jnp.concatenate([lo, bounds[1:-1], hi])
+
+
+def _panel_index_rows(knots, q):
+    """Index of the knot panel containing each query (masked sum, no gather).
+
+    knots: (T, K) non-decreasing (duplicates = dead panels); q: (T, S).
+    Returns int32 (T, S) in [0, K-2]; queries outside clamp to edge panels.
+    """
+    k = knots.shape[1]
+    idx = jnp.zeros(q.shape, dtype=jnp.int32)
+    covered = jnp.zeros(q.shape, dtype=bool)
+    for j in range(k - 1):
+        x0 = knots[:, j : j + 1]
+        x1 = knots[:, j + 1 : j + 2]
+        inside = (q >= x0) & (q < x1)
+        if j == 0:
+            inside = inside | (q < x0)
+        if j == k - 2:
+            inside = inside | (q >= x1)
+        take = inside & ~covered
+        idx = jnp.where(take, jnp.int32(j), idx)
+        covered = covered | take
+    return idx
 
 
 def _scatter_rows(m, gidx, ng):
@@ -95,14 +109,23 @@ def lab_tabular_moments(e_knots, pdf, moms, bounds, order: int, nq: int = 6, cla
     return _scatter_rows(m, gidx, ng)
 
 
-@partial(jax.jit, static_argnames=("order", "nq_e", "nq_mu", "angular", "energy", "clamp", "nbody_expo"))
-def cm_moments(
+# N-body phase-space outgoing-energy knot ladder (fractions of emax): graded
+# toward both support ends, where sqrt(x) and (emax-x)^expo defeat plain GL
+_NBODY_LADDER = np.concatenate(
+    [[0.0], 0.25 ** np.arange(12, 0, -1), [0.5], 1.0 - 0.25 ** np.arange(1, 13), [1.0]]
+)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("order", "nq_w", "nq_y", "angular", "energy", "clamp", "nbody_expo", "chunk", "ksel"),
+)
+def cm_moments_pointwise(
     e,
     e_knots,
     pdf_e,
     r_rows,
     a_rows,
-    mu_edges,
     mu_knots,
     mu_pdf,
     nbody_emax,
@@ -110,143 +133,234 @@ def cm_moments(
     bounds,
     awr,
     order: int,
-    nq_e: int = 16,
-    nq_mu: int = 16,
+    nq_w: int = 8,
+    nq_y: int = 8,
     angular: str = "kalbach",  # 'kalbach' | 'tabular' | 'isotropic'
     energy: str = "tabular",  # 'tabular' | 'nbody'
     clamp: bool = True,
+    chunk: int = 8,
+    ksel: int = 0,
 ):
-    """CM-frame continuum moments: (T, L+1, G).
+    """CM-frame continuum moments via the pointwise-E'_lab formulation: (T, L+1, G).
 
-    e: (T,); e_knots/pdf_e/r_rows/a_rows: (T, KE); mu_edges: (T, PM+1)
-    per-row outer quadrature panel edges (sorted; duplicates = dead panels;
-    the driver inserts the closed-form fold kink angles mu*_g so every GL
-    panel sees a smooth integrand); mu_knots: (KMU,) + mu_pdf: (T, KE, KMU)
-    carry the tabular angular payload; nbody_emax: (T,); nbody_expo: static.
+    Exact change of variables (mu_cm, E'_cm) -> (E'_lab, y = sqrt(E'_cm)):
+    with s = sqrt(E)/(A+1) and w = sqrt(E'_lab),
+
+        mu_cm  = (w^2 - s^2 - y^2) / (2 s y)        (single-valued: no CM->lab fold)
+        mu_lab = (w^2 + s^2 - y^2) / (2 s w)
+        |Jacobian| = 1/s                             (constant)
+        mu_cm in [-1, 1]  <=>  y in [|w - s|, w + s]
+
+    f_{l,g'} = (1/s) int_{g'} dE'_lab int dy p_E(y^2) p_mu(mu_cm) P_l(mu_lab),
+    the inner y-window intersected with the data support. Outer panels in w
+    use group boundaries as EXACT edges (a panel never crosses a boundary),
+    plus the closed-form kink families {y_k +- s}, {s}, and for tabulated
+    angles the mu-knot domain-entry images; inner panels in y use the data
+    knots and (tabular) the closed-form mu-knot crossing roots
+    y = -s mu_k +- sqrt(s^2 mu_k^2 + w^2 - s^2). Every GL panel therefore
+    sees an analytic integrand (spectral convergence), the group
+    classification is exact, and cost is LINEAR in G — this replaces the
+    fold-kink-decimated path that capped fine-structure accuracy at ~5e-6
+    (round-1 gap 2).
+
+    ksel > 0 enables the windowed-knot fast path: only the <= ksel data
+    knots that can fall inside a [|w-s|, w+s] window (host-verified bound)
+    are gathered as inner panel edges; ksel = 0 uses every knot.
     """
     dtype = e.dtype
+    tt = e.shape[0]
     ng = bounds.shape[0] - 1
-    eff = _effective_bounds(bounds, clamp)
-    # finite clamp sentinels: TPU's emulated f64 returns NaN for sqrt(inf)
-    # (verified on hardware), and `disc` below goes through a sqrt
-    eff = jnp.clip(eff, -1e30, 1e30)
-    s = jnp.sqrt(e) / (awr + 1.0)  # (T,) CM-motion speed scale (sqrt-energy units)
+    awr = jnp.broadcast_to(jnp.asarray(awr, dtype=dtype), e.shape)
+    s = jnp.sqrt(jnp.maximum(e, 0.0)) / (awr + 1.0)  # (T,)
+    s_safe = jnp.where(s > 0, s, 1.0)
+    inv_s = jnp.where(s > 0, 1.0 / s_safe, 0.0)
 
     if energy == "nbody":
-        # support [0, emax]; graded knot ladder resolves the sqrt/power endpoints
-        ladder = np.concatenate(
-            [0.25 ** np.arange(12, 0, -1), [0.5], 1.0 - 0.25 ** np.arange(1, 13), [1.0]]
-        )
-        e_knots = nbody_emax[:, None] * jnp.asarray(np.concatenate([[0.0], ladder]), dtype=dtype)[None, :]
-        # normalization: int_0^emax sqrt(x)(emax-x)^k dx = emax^(k+1.5) B(1.5, k+1)
-        # Below-threshold rows have emax <= 0: zero them instead of dividing
-        # by an underflowed power (1e-30**2 -> 0 -> inf -> NaN cascade).
-        beta = float(sps.beta(1.5, float(nbody_expo) + 1.0))
+        e_knots = nbody_emax[:, None] * jnp.asarray(_NBODY_LADDER, dtype=dtype)[None, :]
+        beta_c = float(sps.beta(1.5, float(nbody_expo) + 1.0))
         emax_ok = nbody_emax > 0.0
         emax_safe = jnp.where(emax_ok, nbody_emax, 1.0)
-        c_norm = jnp.where(emax_ok, 1.0 / (beta * emax_safe ** (nbody_expo + 1.5)), 0.0)  # (T,)
+        c_norm = jnp.where(emax_ok, 1.0 / (beta_c * emax_safe ** (nbody_expo + 1.5)), 0.0)  # (T,)
 
     ke = e_knots.shape[1]
-    y_lo = jnp.sqrt(jnp.maximum(e_knots[:, 0], 0.0))
-    y_hi = jnp.sqrt(jnp.maximum(e_knots[:, -1], 0.0))
+    yk = jnp.sqrt(jnp.maximum(e_knots, 0.0))  # (T, KE)
+    y_lo = yk[:, 0]
+    y_hi = yk[:, -1]
 
-    xq_e, wq_e = gl_nodes_weights(nq_e)
-    xq_e = jnp.asarray(xq_e, dtype=dtype)
-    wq_e = jnp.asarray(wq_e, dtype=dtype)
-    xq_m, wq_m = gl_nodes_weights(nq_mu)
-    xq_m = jnp.asarray(xq_m, dtype=dtype)
-    wq_m = jnp.asarray(wq_m, dtype=dtype)
+    # ---- outer domain in w = sqrt(E'_lab)
+    w_min = jnp.where(
+        (y_lo <= s) & (s <= y_hi), 0.0, jnp.minimum(jnp.abs(y_lo - s), jnp.abs(y_hi - s))
+    )
+    w_max = y_hi + s
+    sb = jnp.sqrt(jnp.maximum(bounds, 0.0))  # (G+1,)
+    if not clamp:
+        w_min = jnp.maximum(w_min, sb[0])
+        w_max = jnp.minimum(w_max, sb[-1])
+    w_min_c = w_min[:, None]
+    w_max_c = jnp.maximum(w_max, w_min)[:, None]
 
-    # outer mu points: GL inside each per-row panel; scan iterates the static
-    # (panel, node) product with per-row mu values
-    pm = mu_edges.shape[1] - 1
-    mid_p = 0.5 * (mu_edges[:, 1:] + mu_edges[:, :-1])  # (T, PM)
-    half_p = 0.5 * (mu_edges[:, 1:] - mu_edges[:, :-1])
-    p_arr = jnp.asarray(np.repeat(np.arange(pm), nq_mu), dtype=jnp.int32)  # (NMU,)
-    q_arr = jnp.asarray(np.tile(np.arange(nq_mu), pm), dtype=jnp.int32)
+    parts = [
+        jnp.broadcast_to(sb[None, :], (tt, ng + 1)),
+        yk + s[:, None],
+        jnp.abs(yk - s[:, None]),
+        s[:, None],
+        w_min_c,
+        w_max_c,
+    ]
+    if angular == "tabular":
+        mk = jnp.asarray(mu_knots, dtype=dtype)[None, :]  # (1, KMU)
+        for ye in (y_lo, y_hi):
+            parts.append(jnp.sqrt(jnp.maximum(ye[:, None] ** 2 + 2.0 * s[:, None] * mk * ye[:, None] + (s**2)[:, None], 0.0)))
+        # double-root pair birth: max_y mu_cm(y) = mu_k at w = s sqrt(1 - mu_k^2)
+        parts.append(s[:, None] * jnp.sqrt(jnp.maximum(1.0 - mk**2, 0.0)))
+    # graded ladders at both support ends (integrand ~ w near w=0; windows
+    # shrink linearly at both ends)
+    lad = jnp.asarray(4.0 ** -np.arange(1, 11, dtype=np.float64), dtype=dtype)[None, :]
+    span = (w_max_c - w_min_c)
+    parts.append(w_min_c + span * lad)
+    parts.append(w_max_c - span * lad)
+    w_edges = jnp.sort(jnp.clip(jnp.concatenate(parts, axis=1), w_min_c, w_max_c), axis=1)
+    npan = w_edges.shape[1] - 1
+    pmid = 0.5 * (w_edges[:, 1:] + w_edges[:, :-1])  # (T, P)
+    phalf = 0.5 * (w_edges[:, 1:] - w_edges[:, :-1])
+    gidx_pan = jnp.clip(jnp.searchsorted(bounds, pmid**2, side="right") - 1, 0, ng - 1)
 
-    def body(carry, inp):
-        p_idx, q_idx = inp
-        mid_c = jax.lax.dynamic_index_in_dim(mid_p, p_idx, axis=1, keepdims=False)  # (T,)
-        half_c = jax.lax.dynamic_index_in_dim(half_p, p_idx, axis=1, keepdims=False)
-        mu = (mid_c + half_c * jnp.take(xq_m, q_idx))[:, None]  # (T, 1)
-        w_mu = (half_c * jnp.take(wq_m, q_idx))[:, None]  # (T, 1)
-        mu3 = mu[:, :, None]  # (T, 1, 1)
-        # --- breakpoints: both roots of E'lab(y) = Eb
-        disc = eff[None, :] - (s**2)[:, None] * (1.0 - mu**2)  # (T, G+1)
-        root = jnp.sqrt(jnp.maximum(disc, 0.0))
-        y1 = -mu * s[:, None] + root
-        y2 = -mu * s[:, None] - root
-        b1 = jnp.clip(y1, y_lo[:, None], y_hi[:, None]) ** 2
-        b2 = jnp.clip(y2, y_lo[:, None], y_hi[:, None]) ** 2
-        edges = jnp.sort(jnp.concatenate([e_knots, b1, b2], axis=1), axis=1)  # (T, M)
-        lo, hi = edges[:, :-1], edges[:, 1:]
-        half = 0.5 * (hi - lo)
-        mid = 0.5 * (hi + lo)
-        tt, ss_ = mid.shape
-        x = mid[:, None, :] + half[:, None, :] * xq_e[None, :, None]  # (T, QE, S)
+    xw, ww_ = gl_nodes_weights(nq_w)
+    xw = jnp.asarray(xw, dtype=dtype)
+    ww_ = jnp.asarray(ww_, dtype=dtype)
+    xy, wy_ = gl_nodes_weights(nq_y)
+    xy = jnp.asarray(xy, dtype=dtype)
+    wy_ = jnp.asarray(wy_, dtype=dtype)
+
+    n_chunks = -(-npan // chunk)
+    pad_p = n_chunks * chunk
+    pmid_p = jnp.pad(pmid, ((0, 0), (0, pad_p - npan)))
+    phalf_p = jnp.pad(phalf, ((0, 0), (0, pad_p - npan)))  # pad: half=0 -> dead
+    chunk_ids = jnp.arange(n_chunks) * chunk
+
+    use_window = 0 < ksel < ke
+    nsel = ksel if use_window else ke
+
+    def body(carry, c0):
+        pm = jax.lax.dynamic_slice_in_dim(pmid_p, c0, chunk, axis=1)  # (T, PC)
+        ph = jax.lax.dynamic_slice_in_dim(phalf_p, c0, chunk, axis=1)
+        w = (pm[:, :, None] + ph[:, :, None] * xw[None, None, :]).reshape(tt, chunk * nq_w)  # (T, NW)
+        w_wt = (ph[:, :, None] * ww_[None, None, :]).reshape(tt, chunk * nq_w) * 2.0 * w  # dE' = 2w dw
+        nw = chunk * nq_w
+
+        s2 = s[:, None]  # (T,1)
+        ylo_i = jnp.maximum(jnp.abs(w - s2), y_lo[:, None])  # (T, NW)
+        yhi_i = jnp.minimum(w + s2, y_hi[:, None])
+        ok_w = yhi_i > ylo_i
+
+        # ---- inner panel edges in y
+        if use_window:
+            j0 = jnp.clip(_panel_index_rows(yk, ylo_i), 0, ke - nsel)  # (T, NW)
+            idx = j0[:, :, None] + jnp.arange(nsel, dtype=jnp.int32)[None, None, :]
+            yk_sel = jnp.take_along_axis(yk[:, None, :], jnp.broadcast_to(idx, (tt, nw, nsel)), axis=2)
+        else:
+            yk_sel = jnp.broadcast_to(yk[:, None, :], (tt, nw, ke))
+        iparts = [jnp.clip(yk_sel, ylo_i[..., None], yhi_i[..., None]), ylo_i[..., None], yhi_i[..., None]]
+        if angular == "tabular":
+            mkv = jnp.asarray(mu_knots, dtype=dtype)[None, None, :]  # (1,1,KMU)
+            disc = jnp.maximum((s2**2)[..., None] * mkv**2 + (w**2)[..., None] - (s2**2)[..., None], 0.0)
+            sq = jnp.sqrt(disc)
+            for sgn in (1.0, -1.0):
+                iparts.append(
+                    jnp.clip(-s2[..., None] * mkv + sgn * sq, ylo_i[..., None], yhi_i[..., None])
+                )
+        y_edges = jnp.sort(jnp.concatenate(iparts, axis=-1), axis=-1)  # (T, NW, EY)
+        sy = y_edges.shape[-1] - 1
+        ymid = 0.5 * (y_edges[..., 1:] + y_edges[..., :-1])  # (T, NW, SY)
+        yhalf = 0.5 * (y_edges[..., 1:] - y_edges[..., :-1])
+        y = ymid[..., None] + yhalf[..., None] * xy  # (T, NW, SY, QY)
+        wgt_y = (yhalf[..., None] * wy_) * ok_w[..., None, None]
+
+        x = y * y  # E'_cm at nodes
+        xm = (ymid * ymid).reshape(tt, nw * sy)  # panel-constant interp selectors
+        w4 = w[:, :, None, None]
+        mu = (w4**2 - (s2[..., None, None]) ** 2 - x) / jnp.maximum(2.0 * s2[..., None, None] * y, 1e-30)
+        mu = jnp.clip(mu, -1.0, 1.0)
+        mu_lab = (w4**2 + (s2[..., None, None]) ** 2 - x) / jnp.maximum(2.0 * s2[..., None, None] * w4, 1e-30)
+        mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
 
         if energy == "nbody":
             pe = (
-                c_norm[:, None, None]
-                * jnp.sqrt(jnp.maximum(x, 0.0))
-                * jnp.maximum(nbody_emax[:, None, None] - x, 0.0) ** nbody_expo
+                c_norm[:, None, None, None]
+                * y
+                * jnp.maximum(nbody_emax[:, None, None, None] - x, 0.0) ** nbody_expo
             )
+            # measure already includes dE'_cm = 2y dy? No: p_E is per unit
+            # E'_cm and the change of variables integrates dy directly with
+            # |J| = 1/s — the 2y from dE'_cm = 2y dy is NOT applied because
+            # the Jacobian was computed for (E'_lab, y) directly. p_E(y^2)
+            # here carries only sqrt(E'_cm) = y from the phase-space form.
         else:
-            a_e, b_e = _affine_coeffs_rows(e_knots, pdf_e, mid)
-            pe = a_e[:, None, :] + b_e[:, None, :] * x
+            a_e, b_e = _affine_coeffs_rows(e_knots, pdf_e, xm)
+            pe = a_e.reshape(tt, nw, sy)[..., None] + b_e.reshape(tt, nw, sy)[..., None] * x
 
         if angular == "kalbach":
-            a_r, b_r = _affine_coeffs_rows(e_knots, r_rows, mid)
-            a_a, b_a = _affine_coeffs_rows(e_knots, a_rows, mid)
-            rr = a_r[:, None, :] + b_r[:, None, :] * x
-            aa = a_a[:, None, :] + b_a[:, None, :] * x
-            pa = aa / (2.0 * jnp.sinh(aa)) * (jnp.cosh(aa * mu3) + rr * jnp.sinh(aa * mu3))
+            a_r, b_r = _affine_coeffs_rows(e_knots, r_rows, xm)
+            a_a, b_a = _affine_coeffs_rows(e_knots, a_rows, xm)
+            rr = a_r.reshape(tt, nw, sy)[..., None] + b_r.reshape(tt, nw, sy)[..., None] * x
+            aa = a_a.reshape(tt, nw, sy)[..., None] + b_a.reshape(tt, nw, sy)[..., None] * x
+            aa = jnp.maximum(aa, 1e-12)
+            pa = aa / (2.0 * jnp.sinh(aa)) * (jnp.cosh(aa * mu) + rr * jnp.sinh(aa * mu))
         elif angular == "tabular":
             kmu = mu_knots.shape[0]
-            j = jnp.clip(jnp.searchsorted(mu_knots, mu[:, 0], side="right") - 1, 0, kmu - 2)  # (T,)
-            left = jnp.take_along_axis(mu_pdf, j[:, None, None], axis=2)[:, :, 0]  # (T, KE)
-            right = jnp.take_along_axis(mu_pdf, (j + 1)[:, None, None], axis=2)[:, :, 0]
-            mk0 = jnp.take(mu_knots, j)
-            mk1 = jnp.take(mu_knots, j + 1)
-            t_mu = jnp.clip((mu[:, 0] - mk0) / jnp.maximum(mk1 - mk0, 1e-30), 0.0, 1.0)
-            pmu_k = left + t_mu[:, None] * (right - left)  # (T, KE) angular pdf at mu, per knot
-            a_m, b_m = _affine_coeffs_rows(e_knots, pmu_k, mid)
-            pa = a_m[:, None, :] + b_m[:, None, :] * x
+            je = _panel_index_rows(e_knots, xm)  # (T, NW*SY)
+            mum = (
+                (w[:, :, None] ** 2 - (s2[..., None]) ** 2 - ymid * ymid)
+                / jnp.maximum(2.0 * s2[..., None] * ymid, 1e-30)
+            ).reshape(tt, nw * sy)
+            mum = jnp.clip(mum, -1.0, 1.0)
+            jm = _panel_index_rows(jnp.broadcast_to(jnp.asarray(mu_knots, dtype=dtype)[None, :], (tt, kmu)), mum)
+            flat = mu_pdf.reshape(tt, ke * kmu)
+            f00 = je * kmu + jm
+            c00 = jnp.take_along_axis(flat, f00, axis=1).reshape(tt, nw, sy)
+            c01 = jnp.take_along_axis(flat, f00 + 1, axis=1).reshape(tt, nw, sy)
+            c10 = jnp.take_along_axis(flat, f00 + kmu, axis=1).reshape(tt, nw, sy)
+            c11 = jnp.take_along_axis(flat, f00 + kmu + 1, axis=1).reshape(tt, nw, sy)
+            ek0 = jnp.take_along_axis(e_knots, je, axis=1).reshape(tt, nw, sy)
+            ek1 = jnp.take_along_axis(e_knots, je + 1, axis=1).reshape(tt, nw, sy)
+            mk0 = jnp.take(jnp.asarray(mu_knots, dtype=dtype), jm).reshape(tt, nw, sy)
+            mk1 = jnp.take(jnp.asarray(mu_knots, dtype=dtype), jm + 1).reshape(tt, nw, sy)
+            t_e = jnp.clip(
+                (x - ek0[..., None]) / jnp.maximum(ek1[..., None] - ek0[..., None], 1e-30), 0.0, 1.0
+            )
+            t_m = jnp.clip(
+                (mu - mk0[..., None]) / jnp.maximum(mk1[..., None] - mk0[..., None], 1e-30), 0.0, 1.0
+            )
+            lo_mix = c00[..., None] + t_m * (c01[..., None] - c00[..., None])
+            hi_mix = c10[..., None] + t_m * (c11[..., None] - c10[..., None])
+            pa = lo_mix + t_e * (hi_mix - lo_mix)
         else:  # isotropic
             pa = 0.5
 
-        ylab = x + 2.0 * mu3 * s[:, None, None] * jnp.sqrt(jnp.maximum(x, 0.0)) + (s**2)[:, None, None]
-        mu_lab = jnp.clip(
-            (mu3 * jnp.sqrt(jnp.maximum(x, 0.0)) + s[:, None, None]) / jnp.sqrt(jnp.maximum(ylab, 1e-30)),
-            -1.0,
-            1.0,
-        )
-        wgt = pe * pa * wq_e[None, :, None] * half[:, None, :] * w_mu[:, :, None]  # (T, QE, S)
+        wgt = pe * pa * wgt_y  # (T, NW, SY, QY)
         p_prev = jnp.ones_like(mu_lab)
-        m_list = [jnp.sum(wgt, axis=1)]
+        m_list = [jnp.sum(wgt, axis=(2, 3))]  # (T, NW)
         if order >= 1:
             p_cur = mu_lab
-            m_list.append(jnp.sum(wgt * p_cur, axis=1))
+            m_list.append(jnp.sum(wgt * p_cur, axis=(2, 3)))
             for l in range(1, order):
                 p_next = ((2 * l + 1) * mu_lab * p_cur - l * p_prev) / (l + 1)
                 p_prev, p_cur = p_cur, p_next
-                m_list.append(jnp.sum(wgt * p_cur, axis=1))
-        m = jnp.stack(m_list, axis=1)  # (T, L+1, S)
+                m_list.append(jnp.sum(wgt * p_cur, axis=(2, 3)))
+        mnode = jnp.stack(m_list, axis=-1) * (w_wt * inv_s[:, None])[..., None]  # (T, NW, L+1)
+        vals = mnode.reshape(tt, chunk, nq_w, order + 1).sum(axis=2)  # (T, PC, L+1)
+        acc = jax.lax.dynamic_update_slice_in_dim(
+            carry, jax.lax.dynamic_slice_in_dim(carry, c0, chunk, axis=1) + vals, c0, axis=1
+        )
+        return acc, None
 
-        elab_mid = mid + 2.0 * mu * s[:, None] * jnp.sqrt(jnp.maximum(mid, 0.0)) + (s**2)[:, None]
-        gidx = jnp.searchsorted(bounds, elab_mid, side="right") - 1
-        if clamp:
-            gidx = jnp.clip(gidx, 0, ng - 1)
-            valid = half > 0
-        else:
-            valid = (half > 0) & (gidx >= 0) & (gidx < ng)
-            gidx = jnp.clip(gidx, 0, ng - 1)
-        m = m * valid[:, None, :]
-        return carry + _scatter_rows(m, gidx, ng), None
+    init = jnp.zeros((tt, pad_p, order + 1), dtype=dtype) + (0.0 * e)[:, None, None]
+    panel_vals, _ = jax.lax.scan(body, init, chunk_ids)
 
-    tt = e.shape[0]
-    # init derived from input data: keeps the carry mesh-varying under shard_map
-    init = jnp.zeros((tt, order + 1, ng), dtype=dtype) + (0.0 * e)[:, None, None]
-    out, _ = jax.lax.scan(body, init, (p_arr, q_arr))
-    return out
+    gpad = jnp.pad(gidx_pan, ((0, 0), (0, pad_p - npan)))
+
+    def row_scatter(vals_row, g_row):
+        return jnp.zeros((ng, order + 1), dtype=vals_row.dtype).at[g_row].add(vals_row)
+
+    out = jax.vmap(row_scatter)(panel_vals, gpad)  # (T, G, L+1)
+    return jnp.swapaxes(out, 1, 2)

@@ -134,6 +134,10 @@ def cm_moments_oracle(
         if np.isfinite(bnd) and 0.0 < bnd < s * s:
             m = np.sqrt(1.0 - bnd / (s * s))
             mu_pts.extend([-m, m])
+    if prep.kind == "cm-tabular":
+        # the tabulated angular pdf is piecewise linear in mu: its knots are
+        # C0 kinks of the outer integrand that adaptive quad must be told about
+        mu_pts.extend(float(m) for m in prep.mu_knots if -1.0 < m < 1.0)
     mu_pts = np.unique(np.clip(np.asarray(mu_pts), -1.0 + 1e-15, 1.0 - 1e-15)) if mu_pts else None
 
     for g in range(ng):

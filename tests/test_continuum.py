@@ -73,18 +73,34 @@ def test_normalization_properties():
         assert np.all(np.abs(dev[:, 1:, :].sum(axis=2)) <= dev[:, 0, :].sum(axis=1)[:, None] + 1e-10)
 
 
+def test_law61_cm_vs_oracle():
+    """CM-frame law 61 exercises the cm-tabular pointwise kernel (bilinear
+    (E', mu) payload + closed-form mu-knot crossing roots)."""
+    nuc = synth.build("law61cm")
+    rxn = nuc.reactions[22]
+    e_sel = np.array([6e6, 1.8e7])
+    dev = _driver_moments(nuc, rxn, e_sel, G12, order=3)
+    prep = prepare_continuum(nuc, rxn, rxn.energy_dists[0], e_sel, 3)
+    assert prep.kind == "cm-tabular"
+    for i in range(e_sel.size):
+        ora = cm_moments_oracle(prep, i, float(e_sel[i]), nuc.awr, G12.bounds, 3)
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev[i], ora, rtol=3e-8, atol=3e-8 * scale, err_msg=f"E={e_sel[i]}")
+
+
 def test_fine_structure_aggregates_to_coarse():
-    """Capped fine-G path (kink decimation + reduced outer order) must agree
-    with the exact coarse path after aggregating nested groups (96 -> 12)."""
+    """The pointwise-E'_lab path is group-structure independent: fine-G
+    moments aggregated over nested groups (96 -> 12) must match the coarse
+    run to the full 1e-8 bar (round-1 gap 2 closed)."""
     G96 = groups.uniform_lethargy("ul-96", 96, 1.0, 2.0e7)
     nuc = synth.build("kalbach")
     rxn = nuc.reactions[91]
     e_sel = np.array([5e6, 1.5e7])
-    fine = _driver_moments(nuc, rxn, e_sel, G96, order=2)  # uses capped path (G > 64)
-    coarse = _driver_moments(nuc, rxn, e_sel, G12, order=2)  # exact path
+    fine = _driver_moments(nuc, rxn, e_sel, G96, order=2)
+    coarse = _driver_moments(nuc, rxn, e_sel, G12, order=2)
     agg = fine.reshape(fine.shape[0], fine.shape[1], 12, 8).sum(axis=-1)
     scale = np.abs(coarse).max()
-    np.testing.assert_allclose(agg, coarse, rtol=5e-6, atol=5e-7 * scale)
+    np.testing.assert_allclose(agg, coarse, rtol=1e-8, atol=1e-9 * scale)
 
 
 def test_below_threshold_rows_are_zero_not_nan():

@@ -66,6 +66,26 @@ def test_run_end_to_end(small_library, tmp_path):
     assert "nuclide 1001.80c" in txt
 
 
+def test_row_sharded_run_matches_single_device(small_library, tmp_path):
+    """driver.run over the 8-virtual-device mesh == single-device run.
+
+    Exercises the production multi-chip path (parallel.rows: row-sharded
+    device_put + SPMD-partitioned kernels, no collectives) end to end.
+    """
+    import h5py
+
+    outs = {}
+    for nd in (1, 8):
+        cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c"])
+        cfg.output.path = str(tmp_path / f"lib_nd{nd}.h5")
+        cfg.device.max_devices = nd
+        m = driver.run(cfg)
+        assert m.nuclides_done == 1
+        with h5py.File(cfg.output.path) as f:
+            outs[nd] = f["nuclides"]["1001.80c"]["scatter"][()]
+    np.testing.assert_allclose(outs[8], outs[1], rtol=1e-13, atol=1e-16)
+
+
 def test_compare_self_and_detect_diff(small_library, tmp_path):
     cfg = _cfg(small_library, tmp_path)
     driver.run(cfg)
