@@ -69,6 +69,15 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
         pending.append((start, length, frac))
     for start, length, frac in pending:
         out[start : start + length] = np.asarray(frac)[:length]
+    disc = prep.extra.get("disc")
+    if disc is not None:
+        # ND > 0 delta lines: their l=0 contribution is the line probability
+        # in the containing group (ops.continuum.discrete_lines_moments l=0)
+        from ndpp_tpu.continuum_driver import _add_discrete_lines
+
+        out3 = out[:, None, :]
+        _add_discrete_lines(out3, prep, gs, cfg)
+        out = out3[:, 0, :]
     return out
 
 

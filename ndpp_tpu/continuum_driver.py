@@ -103,6 +103,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
             pending.append((start, length, res))
         for start, length, res in pending:
             out[start : start + length] = np.asarray(res)[:length]
+        _add_discrete_lines(out, prep, gs, cfg)
         return out
 
     if prep.kind in ("cm-kalbach", "cm-tabular", "cm-nbody"):
@@ -165,6 +166,37 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         return out
 
     raise NdppError(f"unknown continuum preparation kind {prep.kind!r}")
+
+
+def _add_discrete_lines(out: np.ndarray, prep: ContinuumPrepared, gs, cfg) -> None:
+    """Add the ND>0 delta-line contribution (host/prep_continuum.discrete_line_rows)."""
+    disc = prep.extra.get("disc")
+    if disc is None:
+        return
+    from ndpp_tpu.ops.continuum import discrete_lines_moments
+    from ndpp_tpu.parallel import rows as rows_mod
+
+    e_d, p_d, am_d = disc
+    ne = e_d.shape[0]
+    j4 = -(-e_d.shape[1] // 4) * 4
+    e_d = unionize.pad_to(e_d, j4, axis=1)
+    p_d = unionize.pad_to(p_d, j4, axis=1, mode="constant")  # zero-probability pad
+    am_d = unionize.pad_to(am_d, j4, axis=1)
+    bounds = rows_mod.put_replicated(gs.bounds)
+    tile, spans = _tiles(ne, 4096)
+    pending = []
+    for start, length in spans:
+        sl = slice(start, start + length)
+        res = discrete_lines_moments(
+            rows_mod.put_rows(unionize.pad_to(e_d[sl], tile)),
+            rows_mod.put_rows(unionize.pad_to(p_d[sl], tile)),
+            rows_mod.put_rows(unionize.pad_to(am_d[sl], tile)),
+            bounds,
+            cfg.clamp_outside,
+        )
+        pending.append((sl, length, res))
+    for sl, length, res in pending:
+        out[sl] += np.asarray(res)[:length]
 
 
 def continuum_reaction_moments(nuc, rxn, e_grid, gs, order, cfg, metrics=None) -> np.ndarray:

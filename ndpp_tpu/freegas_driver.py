@@ -17,12 +17,19 @@ from __future__ import annotations
 import numpy as np
 
 from ndpp_tpu.config import BOLTZMANN_EV_PER_K
-from ndpp_tpu.ops.freegas import freegas_moments, freegas_moments_pointwise
+from ndpp_tpu.ops.freegas import freegas_moments_pointwise
 from ndpp_tpu.utils import log as log_mod
 
 
-def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics=None) -> np.ndarray:
-    """scatter: (NT, NE, L+1, G) 0K combined moments; returns the corrected array."""
+def apply_freegas(
+    scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics=None, e_min_by_temp=None
+) -> np.ndarray:
+    """scatter: (NT, NE, L+1, G) 0K combined moments; returns the corrected array.
+
+    e_min_by_temp: optional per-temperature lower limits (eV) below which the
+    free-gas replacement is SKIPPED — rows there are owned by an S(alpha,beta)
+    table (thermal_driver.apply_sab supersedes free-gas where tabulated).
+    """
     import jax.numpy as jnp
 
     from ndpp_tpu import driver as driver_mod
@@ -51,9 +58,12 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         kt = BOLTZMANN_EV_PER_K * temp_k
         cutoff = cfg.thermal_cutoff_kt * kt
         n_rows = int(np.searchsorted(e_grid, cutoff))
-        if n_rows == 0:
+        e_min = 0.0 if e_min_by_temp is None else float(e_min_by_temp[k])
+        n_lo = int(np.searchsorted(e_grid, e_min, side="right")) if e_min > 0 else 0
+        if n_rows <= n_lo:
             continue
-        rows = slice(0, n_rows)
+        rows = slice(n_lo, n_rows)
+        n_rows = n_rows - n_lo
 
         # Both the free-gas kernel shape and the 0K elastic kernel shape are
         # SMOOTH in E (resonance structure lives only in the sigma weights,
@@ -66,7 +76,7 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
             sub_idx = np.unique(
                 np.round(np.linspace(0, n_rows - 1, max_rows)).astype(int)
             )
-            e_sub = e_grid[sub_idx]
+            e_sub = e_grid[rows][sub_idx]
         else:
             sub_idx = None
             e_sub = e_grid[rows]
@@ -79,42 +89,31 @@ def apply_freegas(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics
         e_reach = 1.5 * (vmax + 2.0 * gamma * (vmax + 8.0 / beta)) ** 2
         w = int(np.clip(np.searchsorted(gs.bounds, e_reach), 1, gs.ng))
         w = min(-(-w // 16) * 16, gs.ng)  # bucket the window so kernel shapes recur across nuclides
-        from ndpp_tpu.parallel import rows as rows_pre
-
-        bounds_w = rows_pre.put_replicated(gs.bounds[: w + 1])
-
-        # modest thermal tiles: the kernel's scan program is large
         from ndpp_tpu.parallel import rows as rows_mod
 
+        # modest thermal tiles: the kernel's scan program is large
         ns = e_sub.size
         nd = max(rows_mod.ndev(), 1)
         tile = driver_mod._pow2_at_most(-(-ns // nd), 64) * nd
         ffg = np.zeros((ns, order + 1, gs.ng))
         pending = []
-        # Kernel choice (docs/design.md): the grouped kernel is exact
-        # (~1e-9) but its exact-breakpoint families scale with the window
-        # size; past ~48 boundaries the pointwise-E' kernel takes over
-        # (A-dependent ~1e-5..1e-7 quadrature accuracy; the round-2 plan is
-        # analytic inner integrals to restore 1e-8 at fine structures).
-        # The grouped kernel's order>=4 program faults the axon TPU worker
-        # (hardware-side; order 3 is fine and CPU runs all orders) — route
-        # high orders through the pointwise kernel as containment.
-        use_pointwise = w > 48 or order >= 4
-        if use_pointwise:
-            bw = gs.bounds[: w + 1].copy()
-            if cfg.clamp_outside:
-                bw[0] = 0.0
-            bounds_pw = rows_pre.put_replicated(bw)
+        # Single production path: the pointwise-E' kernel. The grouped
+        # kernel's Laurent closed form cancels catastrophically when a
+        # group window reaches y' << V_cm (measured 0.45 rel at A=1,
+        # E=kT on thermal-fine windows) and its order>=4 program faults
+        # the axon TPU worker; the pointwise kernel with exact v_r kinks
+        # and graded c-fill holds ~1e-8 (8/8/8) to ~1e-11 (12/16/16)
+        # against the refinement-verified oracle.freegas_exact references
+        # in every probed regime, and its cost is window-size independent.
+        bw = gs.bounds[: w + 1].copy()
+        if cfg.clamp_outside:
+            bw[0] = 0.0
+        bounds_pw = rows_mod.put_replicated(bw)
         for start, length in unionize.tile_indices(ns, tile):
             e_t = unionize.pad_to(e_sub[start : start + length], tile)
-            if use_pointwise:
-                part = freegas_moments_pointwise(
-                    rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
-                )
-            else:
-                part = freegas_moments(
-                    rows_mod.put_rows(e_t), nuc.awr, kt, bounds_w, order, clamp=cfg.clamp_outside
-                )
+            part = freegas_moments_pointwise(
+                rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
+            )
             pending.append((start, length, part))
             if len(pending) >= 2:  # bound the queued device work
                 st, ln, pt = pending.pop(0)

@@ -19,6 +19,8 @@ import numpy as np
 
 from ndpp_tpu.host.ace.records import (
     MEV_TO_EV,
+    AngleEnergySlice,
+    AngleEnergyTable,
     AngularDistribution,
     AngularTable,
     ContinuousTable,
@@ -140,6 +142,8 @@ def _read_law_data(c: _Cursor, dlw_start: int, law: int, idat: int) -> LawData:
             npts = c.i(tpos + 1)
             e_out = c.fa(tpos + 2, npts) * MEV_TO_EV
             pdf = c.fa(tpos + 2 + npts, npts) / MEV_TO_EV
+            if nd:  # discrete-line head: dimensionless probabilities, not densities
+                pdf[:nd] *= MEV_TO_EV
             cdf = c.fa(tpos + 2 + 2 * npts, npts)
             tab = ContinuousTable(intt=intt, nd=nd, e_out=e_out, pdf=pdf, cdf=cdf)
             extra = tpos + 2 + 3 * npts
@@ -188,7 +192,37 @@ def _read_law_data(c: _Cursor, dlw_start: int, law: int, idat: int) -> LawData:
         return LawData(law=1, energies=energies, nbt=nbt, int_law=int_law, net=net, e_out_bins=bins)
     if law == 66:
         return LawData(law=66, npsx=c.i(pos), ap=c.f(pos + 1))
-    # Unknown/unsupported (e.g. 67): retain nothing but the law id.
+    if law == 67:
+        # lab angle-energy (ENDF File 6 LAW=7): per incident energy, a mu
+        # grid whose slices carry joint-density E' tables (records.py
+        # AngleEnergySlice convention)
+        nbt, int_law, pos = _read_interp_header(c, pos)
+        ne = c.i(pos)
+        energies = c.fa(pos + 1, ne) * MEV_TO_EV
+        locs = c.ia(pos + 1 + ne, ne)
+        ae_tables = []
+        for loc in locs:
+            tpos = dlw_start + int(loc) - 1
+            intmu = c.i(tpos)
+            nmu = c.i(tpos + 1)
+            mu = c.fa(tpos + 2, nmu)
+            lmu = c.ia(tpos + 2 + nmu, nmu)
+            slices = []
+            for lm in lmu:
+                spos = dlw_start + int(lm) - 1
+                intep = c.i(spos)
+                npe = c.i(spos + 1)
+                slices.append(
+                    AngleEnergySlice(
+                        intep=intep,
+                        e_out=c.fa(spos + 2, npe) * MEV_TO_EV,
+                        pdf=c.fa(spos + 2 + npe, npe) / MEV_TO_EV,
+                        cdf=c.fa(spos + 2 + 2 * npe, npe),
+                    )
+                )
+            ae_tables.append(AngleEnergyTable(intmu=intmu, mu=mu, slices=slices))
+        return LawData(law=67, energies=energies, nbt=nbt, int_law=int_law, ae_tables=ae_tables)
+    # Unknown/unsupported: retain nothing but the law id.
     return LawData(law=law, raw=np.zeros(0))
 
 

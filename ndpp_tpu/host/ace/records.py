@@ -139,6 +139,32 @@ class AngularDistribution:
 
 
 @dataclass
+class AngleEnergySlice:
+    """One mu entry of a law-67 table: the E' distribution at that cosine.
+
+    Convention (documented in docs/design.md; ENDF-6 File 6 LAW=7 faithful,
+    unverifiable against the reference with the mount empty — SURVEY.md
+    section 0): ``pdf`` carries the JOINT density f(mu, E') per (eV x unit
+    cosine); integrating a slice over E' yields the angular marginal at its
+    mu. Our ACE writer emits the same convention, so round-trips are exact.
+    """
+
+    intep: int  # 1 = histogram, 2 = lin-lin in E'
+    e_out: np.ndarray  # (NP,) eV
+    pdf: np.ndarray  # (NP,) joint density 1/(eV * unit-mu)
+    cdf: np.ndarray  # (NP,)
+
+
+@dataclass
+class AngleEnergyTable:
+    """One incident-energy entry of a law-67 (lab angle-energy) table."""
+
+    intmu: int  # 1 = histogram, 2 = lin-lin between mu slices
+    mu: np.ndarray  # (NMU,)
+    slices: list[AngleEnergySlice]
+
+
+@dataclass
 class ContinuousTable:
     """One incident-energy entry of a law 4/44/61 table."""
 
@@ -179,7 +205,9 @@ class LawData:
     # law 66
     npsx: int | None = None
     ap: float | None = None
-    # law 67 (unsupported by the engine): raw payload retained
+    # law 67 (lab angle-energy): per-incident-energy joint (mu, E') tables
+    ae_tables: list["AngleEnergyTable"] | None = None
+    # unknown laws: raw payload retained
     raw: np.ndarray | None = None
 
 

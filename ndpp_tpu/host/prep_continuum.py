@@ -63,10 +63,40 @@ class ContinuumPrepared:
 # generic tabular (laws 4 / 44 / 61) unit-base machinery
 
 
+def _continuous_view(t: ContinuousTable) -> ContinuousTable:
+    """The continuous tail of a table with ND discrete lines at its head.
+
+    ACE DLW convention: the first ND (e_out, pdf, cdf) entries are delta
+    lines whose pdf value IS the line probability; the rest is the usual
+    density whose integral is 1 - sum(line probabilities). An (almost) all-
+    discrete table degrades to a zero-density stub so the discrete engine
+    carries everything.
+    """
+    nd = t.nd
+    if t.e_out.size - nd >= 2:
+        return ContinuousTable(
+            intt=t.intt, nd=0,
+            e_out=t.e_out[nd:], pdf=t.pdf[nd:], cdf=t.cdf[nd:],
+            r=None if t.r is None else t.r[nd:],
+            a=None if t.a is None else t.a[nd:],
+            angular=None if t.angular is None else t.angular[nd:],
+        )
+    lo = float(t.e_out[:nd].min()) if nd else 1.0
+    hi = float(t.e_out[:nd].max()) if nd else 2.0
+    span = np.array([0.9 * lo, 1.1 * hi + 1e-9])
+    zeros = np.zeros(2)
+    return ContinuousTable(intt=2, nd=0, e_out=span, pdf=zeros, cdf=zeros)
+
+
 def _table_linlin(t: ContinuousTable) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray]]:
-    """(e_out, pdf, aux-arrays) in piecewise-linear form (histogram doubled)."""
+    """(e_out, pdf, aux-arrays) in piecewise-linear form (histogram doubled).
+
+    Discrete lines (ND > 0) are NOT represented here — they are split off
+    into the discrete-lines engine (discrete_line_rows); only the
+    continuous tail flows through the unit-base machinery.
+    """
     if t.nd:
-        raise AceFormatError("discrete secondary-energy lines (ND > 0) unsupported")
+        t = _continuous_view(t)
     aux: dict[str, np.ndarray] = {}
     if t.intt == 2:
         x, y = t.e_out.astype(np.float64), t.pdf.astype(np.float64)
@@ -230,6 +260,8 @@ def _law61_lab_moment_rows(
     tab_moms = []
     tab_xis = []
     for t in data.tables:
+        if t.nd:
+            t = _continuous_view(t)  # discrete head handled by discrete_line_rows
         x, _, _ = _table_linlin(t)
         xi = _xi(x)
         ang = t.angular or [None] * t.e_out.size
@@ -266,6 +298,80 @@ def _law61_lab_moment_rows(
                 out[i, : xi_row.size, l] = (1.0 - t) * v1 + t * v2
         out[i, xi_row.size :, :] = out[i, xi_row.size - 1, :]
     return out
+
+
+def _angular_table_moments(at, order: int) -> np.ndarray:
+    """Exact Legendre moments of one AngularTable (isotropic if None)."""
+    if at is None:
+        out = np.zeros(order + 1)
+        out[0] = 1.0
+        return out
+    xx, yy = linlin_rep(at)
+    norm = np.sum(0.5 * (yy[1:] + yy[:-1]) * np.diff(xx))
+    return linlin_moments(xx, yy / norm, order)
+
+
+def discrete_line_rows(
+    data: LawData, e_grid: np.ndarray, order: int, law: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Per-incident-row discrete lines for ND > 0 tables.
+
+    Returns (e_d (NE, J), p_d (NE, J), am_d (NE, J, L+1)) or None if the law
+    carries no discrete lines. Lines are matched by index across incident
+    panels (the ACE/ENDF convention for line spectra): energies and angular
+    moments interpolate linearly; probabilities interpolate with a vanishing
+    contribution from a panel that lacks the line. Law 44 lines carry
+    Kalbach (r, a) analytic moments; law 61 lines their own angular tables;
+    law 4 lines are separable (caller broadcasts the AND-block moments).
+    """
+    tables = data.tables
+    jm = max(t.nd for t in tables)
+    if jm == 0:
+        return None
+    es = data.energies
+    nt = len(tables)
+    e_tab = np.zeros((nt, jm))
+    p_tab = np.zeros((nt, jm))
+    am_tab = np.zeros((nt, jm, order + 1))
+    am_tab[:, :, 0] = 1.0
+    valid = np.zeros((nt, jm), dtype=bool)
+    for ti, t in enumerate(tables):
+        nd = t.nd
+        if nd == 0:
+            continue
+        valid[ti, :nd] = True
+        e_tab[ti, :nd] = t.e_out[:nd]
+        p_tab[ti, :nd] = t.pdf[:nd]
+        if law == 44:
+            am_tab[ti, :nd] = kalbach_moments(
+                t.r[:nd][None, :], np.maximum(t.a[:nd], 1e-12)[None, :], order
+            )[0]
+        elif law == 61 and t.angular is not None:
+            for j in range(nd):
+                am_tab[ti, j] = _angular_table_moments(t.angular[j], order)
+        if nd < jm:
+            e_tab[ti, nd:] = e_tab[ti, nd - 1]
+    hist_incident = np.isscalar(data.int_law) and int(data.int_law) == interp_mod.HISTOGRAM
+    ne = e_grid.size
+    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
+    e_d = np.zeros((ne, jm))
+    p_d = np.zeros((ne, jm))
+    am_d = np.zeros((ne, jm, order + 1))
+    am_d[:, :, 0] = 1.0
+    for i in range(ne):
+        if es.size == 1:
+            e_d[i], p_d[i], am_d[i] = e_tab[0], p_tab[0], am_tab[0]
+            continue
+        p = panel_of[i]
+        t = 0.0 if hist_incident else float(np.clip((e_grid[i] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
+        v1, v2 = valid[p], valid[p + 1]
+        both = v1 & v2
+        e_d[i] = np.where(both, (1.0 - t) * e_tab[p] + t * e_tab[p + 1], np.where(v1, e_tab[p], e_tab[p + 1]))
+        p_d[i] = (1.0 - t) * p_tab[p] * v1 + t * p_tab[p + 1] * v2
+        w1 = np.where(both, 1.0 - t, v1.astype(np.float64))
+        w2 = np.where(both, t, v2.astype(np.float64))
+        am_d[i] = w1[:, None] * am_tab[p] + w2[:, None] * am_tab[p + 1]
+    return e_d, p_d, am_d
 
 
 def _law61_cm_mu_payload(
@@ -335,6 +441,55 @@ def _nbody_emax(nuc: Nuclide, rxn: Reaction, ap: float, e_grid: np.ndarray) -> n
     return (ap - 1.0) / ap * (a / (a + 1.0) * e_grid + rxn.q)
 
 
+def _law67_as_law61(data: LawData) -> LawData:
+    """Reduce law-67 joint (mu, E') tables to the law-61 lab representation.
+
+    Per incident energy: E'-union of every slice's knots; at each union knot
+    the joint values across the mu grid give (a) the angular marginal by the
+    INTMU rule (lin-lin trapezoid) -> the E' pdf, and (b) the conditional
+    p(mu|E') -> a tabulated AngularTable whose exact per-knot Legendre
+    moments the lab-tabular path already computes. Convention notes in
+    records.AngleEnergySlice.
+    """
+    from ndpp_tpu.host.prep import _eval_limit
+
+    tables = []
+    for t in data.ae_tables:
+        if t.intmu != 2:
+            raise AceFormatError(f"law 67 INTMU={t.intmu} unsupported (lin-lin only)")
+        if t.mu.size < 2:
+            raise AceFormatError("law 67 table needs >= 2 mu slices")
+        union = np.unique(np.concatenate([s.e_out for s in t.slices]))
+        joint = np.zeros((t.mu.size, union.size))
+        for i, s in enumerate(t.slices):
+            if s.intep == 2:
+                vals = np.interp(union, s.e_out, s.pdf, left=0.0, right=0.0)
+            elif s.intep == 1:
+                vals = _eval_limit(s.e_out, s.pdf, union, "right")
+                vals = np.where((union < s.e_out[0]) | (union >= s.e_out[-1]), 0.0, vals)
+            else:
+                raise AceFormatError(f"law 67 INTEP={s.intep} unsupported")
+            joint[i] = vals
+        # angular marginal (lin-lin trapezoid over mu) = the E' pdf
+        marg = np.sum(0.5 * (joint[1:] + joint[:-1]) * np.diff(t.mu)[:, None], axis=0)
+        total = np.trapezoid(marg, union)
+        if total <= 0:
+            raise AceFormatError("law 67 table integrates to zero")
+        marg = marg / total
+        ang: list[AngularTable | None] = []
+        for k in range(union.size):
+            m = marg[k] * total
+            if m <= 0:
+                ang.append(None)  # zero-density knot: conditional undefined -> isotropic
+            else:
+                ang.append(AngularTable.from_tabulated(2, t.mu, joint[:, k] / m))
+        cdf = np.concatenate([[0.0], np.cumsum(0.5 * (marg[1:] + marg[:-1]) * np.diff(union))])
+        tables.append(
+            ContinuousTable(intt=2, nd=0, e_out=union, pdf=marg, cdf=cdf, angular=ang)
+        )
+    return LawData(law=61, energies=data.energies, nbt=data.nbt, int_law=data.int_law, tables=tables)
+
+
 def prepare_continuum(
     nuc: Nuclide, rxn: Reaction, ed: EnergyDistribution, e_grid: np.ndarray, order: int
 ) -> ContinuumPrepared:
@@ -373,6 +528,13 @@ def prepare_continuum(
     elif law == 5:
         data = _law5_as_tables(data)
         law = 4
+    elif law == 67:
+        # lab angle-energy: the joint (mu, E') tables reduce exactly to the
+        # law-61 lab representation (marginal E' pdf + per-knot conditional
+        # angular tables); File 6 LAW=7 data is lab-frame by definition.
+        data = _law67_as_law61(data)
+        law = 61
+        frame = "lab"
     if law not in (4, 44, 61):
         raise AceFormatError(f"continuum law {law} unsupported by the moment engine")
 
@@ -413,6 +575,20 @@ def prepare_continuum(
         else:
             prep.kind = "lab-tabular"
             prep.mom_knots = _and_moment_rows(rxn, e_grid, order, e_knots.shape[1])
+
+    if any(t.nd for t in data.tables):
+        if frame == "cm":
+            # a CM delta line spreads into a continuous lab distribution —
+            # the two-body fold, not the tabular engine; not carried by any
+            # fixture and rejected with a typed error (docs/design.md scope)
+            raise AceFormatError("discrete secondary-energy lines (ND > 0) supported in the lab frame only")
+        disc = discrete_line_rows(data, e_grid, order, law)
+        if disc is not None:
+            e_d, p_d, am_d = disc
+            if law == 4:  # separable: lines share the AND-block angular moments
+                am_rows = _and_moment_rows(rxn, e_grid, order, 1)[:, 0, :]
+                am_d = np.broadcast_to(am_rows[:, None, :], am_d.shape).copy()
+            prep.extra["disc"] = (e_d, p_d, am_d)
     return prep
 
 

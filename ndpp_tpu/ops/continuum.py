@@ -69,6 +69,30 @@ def _scatter_rows(m, gidx, ng):
     return jax.vmap(row)(m, gidx)
 
 
+@partial(jax.jit, static_argnames=("clamp",))
+def discrete_lines_moments(e_out, w, am, bounds, clamp: bool = True):
+    """Exact moments of per-row weighted discrete outgoing-energy lines.
+
+    Law 4/44/61 tables may carry ND delta lines ahead of the continuous part
+    (ACE DLW convention); each line contributes its probability times its
+    angular Legendre factors in the group containing its energy. Also the
+    shared engine for thermal discrete (IFENG<2) tables (ops/thermal.py).
+
+    e_out: (T, J) eV; w: (T, J) line probabilities; am: (T, J, L+1);
+    bounds: (G+1,). Returns (T, L+1, G). With clamp, out-of-range lines
+    collapse into the edge groups; otherwise they are dropped.
+    """
+    ng = bounds.shape[0] - 1
+    g = jnp.searchsorted(bounds, e_out, side="right") - 1  # (T, J)
+    if clamp:
+        inside = jnp.ones(g.shape, dtype=am.dtype)
+    else:
+        inside = ((g >= 0) & (g < ng)).astype(am.dtype)
+    g = jnp.clip(g, 0, ng - 1)
+    onehot = (g[:, :, None] == jnp.arange(ng)[None, None, :]).astype(am.dtype)
+    return jnp.einsum("tjg,tjl,tj,tj->tlg", onehot, am, w, inside)
+
+
 @partial(jax.jit, static_argnames=("order", "nq", "clamp"))
 def lab_tabular_moments(e_knots, pdf, moms, bounds, order: int, nq: int = 6, clamp: bool = True):
     """f_{l,g'} rows for lab-frame tabular spectra.

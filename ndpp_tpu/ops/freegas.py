@@ -330,17 +330,19 @@ def freegas_moments_pointwise(
     kt,
     bounds,
     order: int,
-    nq_g: int = 6,
-    nq_r: int = 6,
-    nq_c: int = 6,
+    nq_g: int = 8,
+    nq_r: int = 8,
+    nq_c: int = 8,
     chunk: int = 8,
 ):
     """Free-gas transfer moments via the pointwise-E' path: (T, L+1, G).
 
-    bounds must be FINITE (the driver windows them to the reachable range);
-    rows normalize against the same-model sigma_eff quadrature, so
-    sum_g f0 = (mass inside [bounds_0, bounds_G]) — pass a covering window
-    to preserve normalization.
+    bounds must be FINITE and COVER the kinematically reachable outgoing
+    range (the driver windows them to it): rows are normalized by their own
+    l=0 total, which makes sum_g f0 = 1 exactly and cancels the common-mode
+    quadrature error between groups (same convention as the reference-style
+    grouped kernel). A non-covering window silently renormalizes the
+    retained mass to 1 — don't do that.
     """
     dtype = e.dtype
     ng = bounds.shape[0] - 1
@@ -410,12 +412,16 @@ def freegas_moments_pointwise(
         wy = (ph[:, :, None] * wg[None, None, :]).reshape(tt, chunk * nq_g) * 2.0 * y  # dE' = 2y dy
         ny = chunk * nq_g
 
-        # per-(row, y) outer v_r edges: Maxwellian ladder + 3 closed-form kinks
+        # per-(row, y) outer v_r edges: Maxwellian ladder + 3 closed-form kinks.
+        # |v - y| covers BOTH directions: for upscatter rows (y > v) the
+        # reachable-v_r edge sits at (y - v)/(2 gamma) — without the abs the
+        # kink clipped to the domain floor and GL panels straddled the hard
+        # onset (the A~1, E <~ kT accuracy loss of round 1).
         base_e = (v[:, None] + inv_beta[:, None] * ladder[None, :])[:, None, :]  # (T,1,11)
         base_e = jnp.broadcast_to(base_e, (tt, ny, ladder.shape[0]))
         g2 = (2.0 * gamma)[:, None]
         kinks = jnp.stack(
-            [y / gamma[:, None], (v[:, None] - y) / g2, (v[:, None] + y) / g2], axis=-1
+            [y / gamma[:, None], jnp.abs(v[:, None] - y) / g2, (v[:, None] + y) / g2], axis=-1
         )  # (T, NY, 3)
 
         # C-ladder layout transitions: vstar(vr) crossing the C-domain ends
@@ -433,14 +439,21 @@ def freegas_moments_pointwise(
                 root_parts.append((-bq - sq) / (2.0 * a2))
         vkinks = jnp.stack(root_parts, axis=-1)  # (T, NY, 8)
 
+        # uniform fill edges: the Maxwellian ladder grades for the Gaussian
+        # only; P_l(c_a)P_l(c_b) oscillates across the whole domain and
+        # needs panels bounded everywhere (l >= 1 convergence)
+        fill_fr = jnp.asarray(np.linspace(0.0, 1.0, 9)[1:-1], dtype=dtype)
+        span_r = (hi_r_dom - lo_r_dom)[:, None, None]
+        fill_r = lo_r_dom[:, None, None] + span_r * fill_fr[None, None, :]
+        fill_r = jnp.broadcast_to(fill_r, (tt, ny, fill_fr.shape[0]))
         edges_r = jnp.sort(
             jnp.clip(
-                jnp.concatenate([base_e, kinks, vkinks], axis=-1),
+                jnp.concatenate([base_e, kinks, vkinks, fill_r], axis=-1),
                 lo_r_dom[:, None, None],
                 hi_r_dom[:, None, None],
             ),
             axis=-1,
-        )  # (T, NY, 22)
+        )  # (T, NY, 29)
         nrp = edges_r.shape[-1] - 1
 
         dsig = [jnp.zeros((tt, ny), dtype=dtype) for _ in range(order + 1)]
@@ -463,8 +476,16 @@ def freegas_moments_pointwise(
             w_lin = 1.0 / ((beta**2 * 2.0 * a_ratio)[:, None, None] * jnp.maximum(anchor, 1e-30))
             g_q = jnp.clip(anchor[..., None] + w_quad[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
             g_l = jnp.clip(anchor[..., None] + w_lin[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
+            # fill for the oscillatory P_l factors (same reason as the v_r
+            # fill above) + geometric grading at the lo end, where c_a/c_b
+            # vary like 1/c when u ~ y ~ v (lo_c << hi_c)
+            fill_cf = jnp.asarray(
+                np.unique(np.concatenate([np.linspace(0.0, 1.0, 9)[1:-1], 4.0 ** -np.arange(8, 0, -1.0)])),
+                dtype=dtype,
+            )
+            g_f = lo_c[..., None] + (hi_c - lo_c)[..., None] * fill_cf
             edges_c = jnp.sort(
-                jnp.concatenate([lo_c[..., None], g_q, g_l, hi_c[..., None]], axis=-1), axis=-1
+                jnp.concatenate([lo_c[..., None], g_q, g_l, g_f, hi_c[..., None]], axis=-1), axis=-1
             )  # (T, NY, QR, EC)
             cmid = 0.5 * (edges_c[..., 1:] + edges_c[..., :-1])
             chalf = 0.5 * (edges_c[..., 1:] - edges_c[..., :-1])
@@ -528,28 +549,10 @@ def freegas_moments_pointwise(
     init = jnp.zeros((tt, pad_p, order + 1), dtype=dtype) + (0.0 * e)[:, None, None]
     panel_vals, _ = jax.lax.scan(body, init, chunk_ids)
 
-    # normalization: same-weight 2D quadrature over the FULL domain
-    vr0 = jnp.maximum(v[:, None] + inv_beta[:, None] * ladder[None, :], 0.0)
-    edges0 = jnp.sort(vr0, axis=1)
-    m0 = 0.5 * (edges0[:, 1:] + edges0[:, :-1])
-    h0 = 0.5 * (edges0[:, 1:] - edges0[:, :-1])
-    xr8, wr8 = gl_nodes_weights(8)
-    vrn = (m0[:, :, None] + h0[:, :, None] * jnp.asarray(xr8, dtype=dtype)).reshape(tt, -1)
-    wrn = (h0[:, :, None] * jnp.asarray(wr8, dtype=dtype)).reshape(tt, -1)
-    un = gamma[:, None] * vrn
-    ccn, wcn = _vcm_panel_nodes(
-        jnp.broadcast_to(v[:, None], vrn.shape), vrn, un, awr[:, None], beta[:, None], xc, wc
-    )
-    v2n = (v**2)[:, None, None]
-    vsqn = (
-        -v2n / awr[:, None, None]
-        + (vrn**2)[..., None] / (awr + 1.0)[:, None, None]
-        + ccn**2 * a_ratio[:, None, None]
-    )
-    n_full = jnp.sum(
-        (vrn**2)[..., None] * ccn * jnp.exp(jnp.minimum(-(beta**2)[:, None, None] * vsqn, 0.0)) * wcn * wrn[..., None],
-        axis=(1, 2),
-    )
+    # normalization: the numerator's own l=0 total over the (covering)
+    # window — exact row sums by construction, and the common-mode
+    # quadrature error cancels between groups (see docstring)
+    n_full = jnp.sum(panel_vals[:, :, 0], axis=1)
     n_full = jnp.where(n_full > 0, n_full, 1.0)
 
     # scatter panels -> groups

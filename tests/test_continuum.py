@@ -88,6 +88,47 @@ def test_law61_cm_vs_oracle():
         np.testing.assert_allclose(dev[i], ora, rtol=3e-8, atol=3e-8 * scale, err_msg=f"E={e_sel[i]}")
 
 
+def test_law67_lab_vs_oracle():
+    """Law 67 (lab angle-energy) reduces to the lab-tabular path: marginal
+    E' pdf + per-knot conditional angular moments; checked against the
+    adaptive oracle, with genuine anisotropy in the payload."""
+    nuc = synth.build("law67")
+    rxn = nuc.reactions[28]
+    e_sel = np.array([5e6, 1.8e7])
+    dev = _driver_moments(nuc, rxn, e_sel, G12, order=3)
+    prep = prepare_continuum(nuc, rxn, rxn.energy_dists[0], e_sel, 3)
+    assert prep.kind == "lab-tabular"
+    for i in range(e_sel.size):
+        ora = lab_tabular_moments_oracle(prep, i, G12.bounds, 3)
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev[i], ora, rtol=1e-8, atol=1e-8 * scale, err_msg=f"E={e_sel[i]}")
+    np.testing.assert_allclose(dev[:, 0, :].sum(axis=1), 1.0, rtol=1e-8)
+    assert np.abs(dev[:, 1, :]).max() > 1e-3  # anisotropy actually exercised
+
+
+def test_law4_discrete_lines_vs_oracle():
+    """ND=2 discrete lines + continuous tail (lab law 4, separable AND
+    anisotropy): the device result must equal continuous-oracle + exact
+    line placement, and the l=0 row must still sum to 1."""
+    nuc = synth.build("law4nd")
+    rxn = nuc.reactions[91]
+    e_sel = np.array([4e6, 1.5e7])
+    dev = _driver_moments(nuc, rxn, e_sel, G12, order=3)
+    prep = prepare_continuum(nuc, rxn, rxn.energy_dists[0], e_sel, 3)
+    assert prep.kind == "lab-tabular" and "disc" in prep.extra
+    e_d, p_d, am_d = prep.extra["disc"]
+    for i in range(e_sel.size):
+        ora = lab_tabular_moments_oracle(prep, i, G12.bounds, 3)
+        for j in range(e_d.shape[1]):
+            g = int(np.clip(np.searchsorted(G12.bounds, e_d[i, j], side="right") - 1, 0, G12.ng - 1))
+            ora[:, g] += p_d[i, j] * am_d[i, j]
+        scale = np.abs(ora).max()
+        np.testing.assert_allclose(dev[i], ora, rtol=1e-8, atol=1e-8 * scale, err_msg=f"E={e_sel[i]}")
+    np.testing.assert_allclose(dev[:, 0, :].sum(axis=1), 1.0, rtol=1e-8)
+    # the lines carry real probability: discrete mass present at both energies
+    assert p_d.min() > 0.05
+
+
 def test_fine_structure_aggregates_to_coarse():
     """The pointwise-E'_lab path is group-structure independent: fine-G
     moments aggregated over nested groups (96 -> 12) must match the coarse

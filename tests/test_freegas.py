@@ -11,7 +11,12 @@ from ndpp_tpu import groups
 from ndpp_tpu.freegas_driver import apply_freegas
 from ndpp_tpu.host.ace import synth
 from ndpp_tpu.host.prep import prepare_twobody
-from ndpp_tpu.ops.freegas import freegas_moments, freegas_sigma_eff_ratio
+from ndpp_tpu.ops.freegas import (
+    freegas_moments,
+    freegas_moments_pointwise,
+    freegas_sigma_eff_ratio,
+)
+from ndpp_tpu.oracle.freegas_exact import f0_groups_exact, moments_dense
 from ndpp_tpu.ops.twobody import twobody_moments
 from ndpp_tpu.oracle.freegas import freegas_moments_oracle
 
@@ -54,9 +59,11 @@ def test_moments_vs_oracle_heavy():
 
 def test_normalization_and_upscatter():
     g = groups.uniform_lethargy("fg30", 30, 1e-7, 5000.0)
+    bounds = g.bounds.copy()
+    bounds[0] = 0.0  # covering window: the pointwise kernel normalizes over it
     e = np.array([KT / 100, KT, 10 * KT, 400 * KT])
-    f = np.asarray(freegas_moments(jnp.asarray(e), 0.999167, KT, jnp.asarray(g.bounds), 3))
-    np.testing.assert_allclose(f[:, 0, :].sum(axis=1), 1.0, rtol=1e-12)
+    f = np.asarray(freegas_moments_pointwise(jnp.asarray(e), 0.999167, KT, jnp.asarray(bounds), 3))
+    np.testing.assert_allclose(f[:, 0, :].sum(axis=1), 1.0, rtol=1e-9)
     # cold neutron at kT/100 overwhelmingly up-scatters
     gi = g.group_of(float(e[0]))
     assert f[0, 0, gi + 1 :].sum() > 0.9
@@ -80,9 +87,10 @@ def test_detailed_balance():
             )
         )
     )
+    bounds[0] = 0.0
     gs_b = jnp.asarray(bounds)
-    f1 = np.asarray(freegas_moments(jnp.asarray([e1]), awr, KT, gs_b, 0))[0, 0]
-    f2 = np.asarray(freegas_moments(jnp.asarray([e2]), awr, KT, gs_b, 0))[0, 0]
+    f1 = np.asarray(freegas_moments_pointwise(jnp.asarray([e1]), awr, KT, gs_b, 0))[0, 0]
+    f2 = np.asarray(freegas_moments_pointwise(jnp.asarray([e2]), awr, KT, gs_b, 0))[0, 0]
     g1 = int(np.searchsorted(bounds, e1) - 1)
     g2 = int(np.searchsorted(bounds, e2) - 1)
     d1 = bounds[g1 + 1] - bounds[g1]
@@ -100,7 +108,11 @@ def test_t_to_zero_matches_0k_elastic():
     g = groups.get("uniform-lethargy-47")
     e = np.array([5e3])  # 2e5 x kT
     kt_tiny = KT / 1000.0
-    ffg = np.asarray(freegas_moments(jnp.asarray(e), nuc.awr, kt_tiny, jnp.asarray(g.bounds), 3))[0]
+    bounds = g.bounds.copy()
+    bounds[0] = 0.0
+    ffg = np.asarray(
+        freegas_moments_pointwise(jnp.asarray(e), nuc.awr, kt_tiny, jnp.asarray(bounds), 3)
+    )[0]
     prep = prepare_twobody(nuc, nuc.elastic, e)
     f0k = np.asarray(
         twobody_moments(
@@ -128,20 +140,28 @@ def test_driver_applies_freegas():
     assert np.any(scatter[0, :n1] != scatter[1, :n1])
 
 
-def test_pointwise_matches_grouped_on_fine_window():
-    """The fine-structure (pointwise-E') kernel agrees with the exact grouped
-    kernel on a moderately fine window at its documented accuracy."""
-    from ndpp_tpu.ops.freegas import freegas_moments_pointwise
+def test_pointwise_f0_vs_exact_anchor():
+    """Production (pointwise) kernel f0 rows vs the erf-closed-form anchor on a
+    thermal-fine structure — the regime where the grouped kernel's Laurent
+    closed form cancels catastrophically (round-1 gap 1, closed)."""
+    bounds = np.concatenate([[0.0], np.geomspace(1e-4, 4.0, 24), [50.0]])
+    for awr, e in [(0.999167, KT), (1.0, KT / 10), (238.0, KT), (15.858, KT)]:
+        anchor = f0_groups_exact(e, awr, KT, bounds, clamp=True)
+        dev = np.asarray(
+            freegas_moments_pointwise(jnp.asarray([e]), awr, KT, jnp.asarray(bounds), 2)
+        )[0, 0]
+        scale = np.abs(anchor).max()
+        np.testing.assert_allclose(dev, anchor, rtol=3e-8, atol=3e-8 * scale, err_msg=f"A={awr} E={e}")
 
-    g = groups.uniform_lethargy("fgfine", 60, 1e-5, 100.0)
-    bounds = g.bounds.copy()
-    bounds[0] = 0.0  # pointwise path takes finite clamped windows
-    for awr, e, tol in [(238.0, KT, 5e-6), (0.999167, KT, 5e-4)]:
-        v1 = np.asarray(
-            freegas_moments(jnp.asarray([e]), awr, KT, jnp.asarray(g.bounds), 2)
-        )[0]
-        v2 = np.asarray(
-            freegas_moments_pointwise(jnp.asarray([e]), awr, KT, jnp.asarray(bounds), 2, nq_g=8, nq_r=8, nq_c=8)
-        )[0]
-        assert np.abs(v2 - v1).max() / np.abs(v1).max() < tol, (awr, e)
-        assert abs(v2[0].sum() - 1.0) < 1e-4
+
+def test_pointwise_higher_moments_vs_dense_reference():
+    """l >= 1 spot groups vs the refinement-verified dense reference (A=1 at
+    the thermal peak: the hardest corner probed)."""
+    bounds = np.concatenate([[0.0], np.geomspace(1e-4, 4.0, 24), [50.0]])
+    awr, e = 1.0, KT
+    sel = [12, 13]
+    ref = moments_dense(e, awr, KT, bounds, 4, sel, nq_y=16, n_c=8, self_tol=3e-8)
+    dev = np.asarray(freegas_moments_pointwise(jnp.asarray([e]), awr, KT, jnp.asarray(bounds), 4))[0]
+    for g in sel:
+        scale = max(abs(ref[g][0]), 1e-300)
+        assert np.abs(dev[:, g] - ref[g]).max() / scale < 1e-7, g
