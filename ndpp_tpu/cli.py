@@ -57,6 +57,14 @@ def _cmd_fixtures(args) -> int:
         write_ace(nuc, path)
         lines.append(f"{nuc.name} {nuc.awr:.6f} {path.name} 0 1 1 0")
         print(f"wrote {path} ({nuc.name}, NE={nuc.energy.size}, A={nuc.awr:.1f})")
+    from ndpp_tpu.host.ace.thermal import write_thermal_ace
+
+    for key in sorted(synth.THERMAL_FIXTURES):
+        tab = synth.build_thermal(key)
+        path = out / f"{key}.ace"
+        write_thermal_ace(tab, path)
+        lines.append(f"{tab.name} {tab.awr:.6f} {path.name} 0 1 1 0")
+        print(f"wrote {path} ({tab.name}, thermal)")
     (out / "xsdir").write_text("directory\n" + "\n".join(lines) + "\n")
     print(f"wrote {out / 'xsdir'} ({len(lines)} entries)")
     return 0

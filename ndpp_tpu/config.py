@@ -79,6 +79,9 @@ class RunConfig:
     clamp_outside: bool = True  # out-of-range outgoing E collapses into edge groups
     thin_tol: float = 0.0  # >0: thin the moment grid where sigma interpolates within tol
     freegas_for: list[str] = field(default_factory=list)  # nuclide names; empty = all with A < 400... see prep
+    # S(alpha,beta) assignments: nuclide name -> thermal table name(s)
+    # (resolved via the library index, or the built-in synthetic fixtures)
+    sab: dict[str, list[str]] = field(default_factory=dict)
     output: OutputConfig = field(default_factory=OutputConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
     resume: bool = False
@@ -119,6 +122,10 @@ def _build(data: dict) -> RunConfig:
         clamp_outside=bool(run.get("clamp_outside", True)),
         thin_tol=float(run.get("thin_tol", 0.0)),
         freegas_for=list(run.get("freegas_for", [])),
+        sab={
+            str(k): ([str(v)] if isinstance(v, str) else [str(x) for x in v])
+            for k, v in dict(run.get("sab", {})).items()
+        },
         resume=bool(run.get("resume", False)),
     )
     out = data.get("output", {})

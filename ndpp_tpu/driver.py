@@ -150,8 +150,18 @@ def scattering_moments(
     return accum, sigma_s
 
 
-def process_nuclide(nuc: Nuclide, gs: GroupStructure, cfg: RunConfig, metrics: RunMetrics | None = None) -> NuclideResult:
-    """Full single-nuclide pipeline -> NuclideResult."""
+def process_nuclide(
+    nuc: Nuclide,
+    gs: GroupStructure,
+    cfg: RunConfig,
+    metrics: RunMetrics | None = None,
+    sab_tables=None,
+) -> NuclideResult:
+    """Full single-nuclide pipeline -> NuclideResult.
+
+    sab_tables: optional list of ThermalTable for this nuclide (cfg.sab);
+    bound-thermal replacement supersedes free-gas where tabulated.
+    """
     e_grid = unionize.moment_grid(nuc.energy)
     if cfg.thin_tol > 0:
         keep = unionize.thin_grid(e_grid, np.stack([nuc.sigma_t, nuc.sigma_el]), cfg.thin_tol)
@@ -162,10 +172,19 @@ def process_nuclide(nuc: Nuclide, gs: GroupStructure, cfg: RunConfig, metrics: R
     base, sigma_s = scattering_moments(nuc, gs, cfg, e_grid, metrics)
     scatter = np.broadcast_to(base, (nt,) + base.shape).copy()
 
-    # Free-gas thermal replacement below the cutoff, per temperature
+    # Bound-thermal S(alpha,beta) replacement (below each table's range),
+    # then free-gas above it up to the thermal cutoff, per temperature
     from ndpp_tpu.freegas_driver import apply_freegas
 
-    scatter = apply_freegas(scatter, nuc, gs, cfg, e_grid, metrics)
+    e_min_by_temp = None
+    if sab_tables:
+        from ndpp_tpu.thermal_driver import apply_sab, match_tables, sab_e_max
+
+        matched = match_tables(sab_tables, list(cfg.temperatures))
+        scatter = apply_sab(scatter, nuc, gs, cfg, e_grid, matched, metrics)
+        e_min_by_temp = sab_e_max(matched)
+
+    scatter = apply_freegas(scatter, nuc, gs, cfg, e_grid, metrics, e_min_by_temp)
 
     res = NuclideResult(
         name=nuc.name,
@@ -207,6 +226,9 @@ def run(cfg: RunConfig) -> RunMetrics:
     names = cfg.nuclides or idx.names()
     if names == ["all"]:
         names = idx.names()
+    # thermal S(alpha,beta) tables (ACE class 't') are inputs to cfg.sab
+    # assignments, never standalone sweep items
+    names = [n for n in names if not n.endswith("t")]
 
     writers = open_writers(cfg, gs)
     quarantined: list[tuple[str, str]] = []
@@ -224,6 +246,19 @@ def run(cfg: RunConfig) -> RunMetrics:
 
     def _parse(name: str):
         return read_ace(idx.path_for(name), name_hint=name)
+
+    sab_cache: dict[str, list] = {}
+
+    def _sab_tables(name: str):
+        table_names = cfg.sab.get(name, [])
+        if not table_names:
+            return None
+        from ndpp_tpu.thermal_driver import resolve_tables
+
+        missing = [t for t in table_names if t not in sab_cache]
+        for t, tab in zip(missing, resolve_tables(missing, idx)):
+            sab_cache[t] = tab
+        return [sab_cache[t] for t in table_names]
 
     pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="ndpp-parse")
     futures = {}
@@ -246,7 +281,7 @@ def run(cfg: RunConfig) -> RunMetrics:
                 with timers.span("parse"):
                     nuc = futures.pop(name).result()
                 with timers.span("compute"):
-                    res = process_nuclide(nuc, gs, cfg, metrics)
+                    res = process_nuclide(nuc, gs, cfg, metrics, sab_tables=_sab_tables(name))
                 with timers.span("write"):
                     for w in writers:
                         w.write_nuclide(res)
