@@ -55,7 +55,7 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
         raise AceFormatError(f"chi: unsupported spectrum kind {prep.kind!r}")
     nd = max(rows_mod.ndev(), 1)
     tile = min(1024, -(-ne // nd)) * nd
-    k16 = -(-prep.e_knots.shape[1] // 16) * 16
+    k16 = unionize.bucket_pow2(prep.e_knots.shape[1])
     kn = unionize.pad_to(prep.e_knots, k16, axis=1)
     pd = unionize.pad_to(prep.pdf, k16, axis=1)
     pending = []

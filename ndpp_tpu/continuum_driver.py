@@ -84,7 +84,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         return out  # isotropic lab: moments l >= 1 vanish
 
     if prep.kind == "lab-tabular":
-        k16 = -(-prep.e_knots.shape[1] // 16) * 16
+        k16 = unionize.bucket_pow2(prep.e_knots.shape[1])
         kn = unionize.pad_to(prep.e_knots, k16, axis=1)
         pd = unionize.pad_to(prep.pdf, k16, axis=1)
         mm = unionize.pad_to(prep.mom_knots, k16, axis=1)
@@ -117,7 +117,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
             emax = prep.nbody_emax
             ksel = 0
         else:
-            k16 = -(-prep.e_knots.shape[1] // 16) * 16
+            k16 = unionize.bucket_pow2(prep.e_knots.shape[1])
             kn = unionize.pad_to(prep.e_knots, k16, axis=1)
             pd = unionize.pad_to(prep.pdf, k16, axis=1)
             if prep.kind == "cm-kalbach":

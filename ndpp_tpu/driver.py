@@ -83,13 +83,23 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     ne = e_grid.size
     nd = max(rows_mod.ndev(), 1)
     tile = _pow2_at_most(-(-ne // nd), tile) * nd
-    # pad the knot axis to a multiple of 16 so reactions with similar table
-    # sizes share one compiled kernel
-    k16 = -(-prep.knots.shape[1] // 16) * 16
+    # pow2-bucket the knot axis so reactions with similar table sizes share
+    # one compiled kernel (compile >> padded compute; unionize.bucket_pow2)
+    k16 = unionize.bucket_pow2(prep.knots.shape[1])
     knots = unionize.pad_to(prep.knots, k16, axis=1)
     pdf = unionize.pad_to(prep.pdf, k16, axis=1)
     out = np.empty((ne, order + 1, bounds.size - 1))
     b = rows_mod.put_replicated(bounds)
+    # f32 fast path: the fused Pallas inner kernel (single chip, TPU only —
+    # XLA cannot auto-partition a pallas custom call over the 'e' mesh)
+    kernel_fn = twobody_moments
+    if rows_mod.compute_dtype() == np.float32 and nd == 1:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+
+            kernel_fn = twobody_moments_pallas
     # dispatch every tile asynchronously, then gather: one tunnel round-trip
     # instead of one per tile
     pending = []
@@ -97,7 +107,7 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
         e_t = unionize.pad_to(prep.e[start : start + length], tile)
         k_t = unionize.pad_to(knots[start : start + length], tile)
         p_t = unionize.pad_to(pdf[start : start + length], tile)
-        res = twobody_moments(
+        res = kernel_fn(
             rows_mod.put_rows(e_t), rows_mod.put_rows(k_t), rows_mod.put_rows(p_t),
             b, prep.c1, prep.c2, prep.awr, order, nq, clamp,
         )
@@ -216,9 +226,13 @@ def run(cfg: RunConfig) -> RunMetrics:
 
     from ndpp_tpu.parallel import rows as rows_mod
 
-    nd = rows_mod.configure(cfg.device.max_devices)
+    if cfg.device.precision == "dd":
+        log.warning("device.precision='dd' runs as f64 until the Pallas double-double path lands")
+    nd = rows_mod.configure(cfg.device.max_devices, cfg.device.precision)
     if nd > 1:
         log.info("row-sharded dispatch over %d devices", nd)
+    if cfg.device.precision == "f32":
+        log.info("f32 fast path: ~1e-6 moment accuracy (production bar is f64)")
 
     gs = cfg.group_structure()
     with timers.span("index"):

@@ -88,7 +88,7 @@ def apply_freegas(
         vmax = np.sqrt(cutoff)
         e_reach = 1.5 * (vmax + 2.0 * gamma * (vmax + 8.0 / beta)) ** 2
         w = int(np.clip(np.searchsorted(gs.bounds, e_reach), 1, gs.ng))
-        w = min(-(-w // 16) * 16, gs.ng)  # bucket the window so kernel shapes recur across nuclides
+        w = min(unionize.bucket_pow2(w), gs.ng)  # pow2 window buckets: minimize distinct kernel shapes
         from ndpp_tpu.parallel import rows as rows_mod
 
         # modest thermal tiles: the kernel's scan program is large

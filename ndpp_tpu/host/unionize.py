@@ -78,3 +78,18 @@ def pad_to(x: np.ndarray, n: int, axis: int = 0, mode: str = "edge") -> np.ndarr
 
 def n_tiles(n: int, tile: int) -> int:
     return max(1, math.ceil(n / tile))
+
+
+def bucket_pow2(n: int, lo: int = 16) -> int:
+    """Smallest power of two >= n (floored at lo).
+
+    Canonical pad sizes for the data axes (knot tables, group windows):
+    across a many-nuclide sweep the padded-compute cost (~0.2 s/nuclide
+    steady state) is dwarfed by each distinct-shape compile (~60-100 s on
+    the remote axon compiler), so buckets are chosen to MINIMIZE DISTINCT
+    SHAPES, not padding waste.
+    """
+    p = lo
+    while p < n:
+        p *= 2
+    return p

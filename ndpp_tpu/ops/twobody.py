@@ -99,34 +99,16 @@ def _interp_rows(knots, pdf, mu):
     return out
 
 
-@partial(jax.jit, static_argnames=("order", "nq", "clamp"))
-def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16, clamp: bool = True):
-    """Group-transfer Legendre moments for one two-body reaction.
+def twobody_panels(e, knots, pdf, bounds, c1, c2, awr, clamp: bool):
+    """Shared prologue: exact subinterval panels for the two-body engines.
 
-    Args:
-      e:      (T,) incident energies (eV).
-      knots:  (T, K) mu_cm knots of the piecewise-linear p(mu|E) (padded by
-              repeating the last knot).
-      pdf:    (T, K) pdf values at the knots.
-      bounds: (G+1,) ascending group boundaries (eV).
-      c1, c2: reaction kinematic constants (eV, -); scalars.
-      awr:    atomic weight ratio A; scalar.
-      order:  max Legendre order L (static).
-      nq:     GL points per subinterval (static).
-      clamp:  if True (static), outgoing energies outside the group range
-              collapse into the edge groups (standard multigroup practice:
-              the bottom/top group catch everything past their outer
-              boundary); if False such transfer is dropped.
+    Builds the sorted edge set (pdf knots ++ group-boundary mu breakpoints ++
+    graded -1 ladder) and per-subinterval affine pdf coefficients. Used by
+    both the XLA kernel below and the fused Pallas f32 path
+    (ops/twobody_pallas.twobody_moments_pallas).
 
-    Returns:
-      (T, L+1, G) moments f_{l,g'}(E): the expected value, per scattering
-      event, of P_l(mu_lab) joint with outgoing energy in group g'.
-      Rows with E below threshold are all zero.
+    Returns (mid, half, a_s, b_s, base, slope, ecm, e_safe, ap1, valid_e).
     """
-    xq, wq = gl_nodes_weights(nq)
-    xq = jnp.asarray(xq, dtype=e.dtype)
-    wq = jnp.asarray(wq, dtype=e.dtype)
-    ng = bounds.shape[0] - 1
     # kinematic constants may be scalars or per-row (T,) arrays (multi-nuclide batches)
     c1 = jnp.broadcast_to(jnp.asarray(c1, dtype=e.dtype), e.shape)
     c2 = jnp.broadcast_to(jnp.asarray(c2, dtype=e.dtype), e.shape)
@@ -166,17 +148,69 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
     hi = edges[:, 1:]
     half = 0.5 * (hi - lo)  # (T, S)
     mid = 0.5 * (hi + lo)
+    # Every subinterval lies inside exactly ONE pdf panel (the edges include
+    # all knots), so the pdf is a single affine a + b*mu per subinterval:
+    # select coefficients by midpoint (S masked terms instead of S*Q interps)
+    a_s, b_s = _affine_coeffs_rows(knots, pdf, mid)
+    return mid, half, a_s, b_s, base, slope, ecm, e_safe, ap1, valid_e
+
+
+def twobody_scatter(m, mid, half, base, slope, valid_e, bounds, clamp: bool):
+    """Shared epilogue: mask invalid subintervals and scatter (T, L+1, S)
+    per-subinterval moments into outgoing groups -> (T, L+1, G)."""
+    ng = bounds.shape[0] - 1
+    elab_mid = base[:, None] + slope[:, None] * mid  # (T, S)
+    gidx = jnp.searchsorted(bounds, elab_mid, side="right") - 1  # (T, S)
+    if clamp:
+        gidx = jnp.clip(gidx, 0, ng - 1)
+        valid = (half[:, :] > 0.0) & valid_e[:, None]
+    else:
+        valid = (half[:, :] > 0.0) & (gidx >= 0) & (gidx < ng) & valid_e[:, None]
+    gidx = jnp.clip(gidx, 0, ng - 1)
+    m = m * valid[:, None, :]
+
+    def scatter_row(m_row, g_row):
+        return jnp.zeros((m_row.shape[0], ng), dtype=m_row.dtype).at[:, g_row].add(m_row)
+
+    return jax.vmap(scatter_row)(m, gidx)  # (T, L+1, G)
+
+
+@partial(jax.jit, static_argnames=("order", "nq", "clamp"))
+def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16, clamp: bool = True):
+    """Group-transfer Legendre moments for one two-body reaction.
+
+    Args:
+      e:      (T,) incident energies (eV).
+      knots:  (T, K) mu_cm knots of the piecewise-linear p(mu|E) (padded by
+              repeating the last knot).
+      pdf:    (T, K) pdf values at the knots.
+      bounds: (G+1,) ascending group boundaries (eV).
+      c1, c2: reaction kinematic constants (eV, -); scalars.
+      awr:    atomic weight ratio A; scalar.
+      order:  max Legendre order L (static).
+      nq:     GL points per subinterval (static).
+      clamp:  if True (static), outgoing energies outside the group range
+              collapse into the edge groups (standard multigroup practice:
+              the bottom/top group catch everything past their outer
+              boundary); if False such transfer is dropped.
+
+    Returns:
+      (T, L+1, G) moments f_{l,g'}(E): the expected value, per scattering
+      event, of P_l(mu_lab) joint with outgoing energy in group g'.
+      Rows with E below threshold are all zero.
+    """
+    xq, wq = gl_nodes_weights(nq)
+    xq = jnp.asarray(xq, dtype=e.dtype)
+    wq = jnp.asarray(wq, dtype=e.dtype)
+    mid, half, a_s, b_s, base, slope, ecm, e_safe, ap1, valid_e = twobody_panels(
+        e, knots, pdf, bounds, c1, c2, awr, clamp
+    )
 
     # Layout: (T, Q, S) keeps the wide subinterval axis in lanes for every
     # elementwise op, and the q-reduction is Q static lane-aligned adds —
     # never materializing a (T, S, Q, L+1) tensor whose 6-wide minor axis
     # would waste 20/21 of each vector register.
-    tt, ss = mid.shape
     mu_q = mid[:, None, :] + half[:, None, :] * xq[None, :, None]  # (T, Q, S)
-    # Every subinterval lies inside exactly ONE pdf panel (the edges include
-    # all knots), so the pdf is a single affine a + b*mu per subinterval:
-    # select coefficients by midpoint (S masked terms instead of S*Q interps)
-    a_s, b_s = _affine_coeffs_rows(knots, pdf, mid)
     pdf_q = a_s[:, None, :] + b_s[:, None, :] * mu_q
 
     elab_q = base[:, None, None] + slope[:, None, None] * mu_q
@@ -200,22 +234,7 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
             p_prev, p_cur = p_cur, p_next
             m_list.append(jnp.sum(weight * p_cur, axis=1))
     m = jnp.stack(m_list, axis=1)  # (T, L+1, S)
-
-    # Outgoing group of each subinterval (constant within it, by construction)
-    elab_mid = base[:, None] + slope[:, None] * mid  # (T, S)
-    gidx = jnp.searchsorted(bounds, elab_mid, side="right") - 1  # (T, S)
-    if clamp:
-        gidx = jnp.clip(gidx, 0, ng - 1)
-        valid = (half[:, :] > 0.0) & valid_e[:, None]
-    else:
-        valid = (half[:, :] > 0.0) & (gidx >= 0) & (gidx < ng) & valid_e[:, None]
-    gidx = jnp.clip(gidx, 0, ng - 1)
-    m = m * valid[:, None, :]
-
-    def scatter_row(m_row, g_row):
-        return jnp.zeros((m_row.shape[0], ng), dtype=m_row.dtype).at[:, g_row].add(m_row)
-
-    return jax.vmap(scatter_row)(m, gidx)  # (T, L+1, G)
+    return twobody_scatter(m, mid, half, base, slope, valid_e, bounds, clamp)
 
 
 def twobody_constants(awr: float, q_ev: float) -> tuple[float, float]:

@@ -23,6 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ndpp_tpu.ops.legendre import gl_nodes_weights
+from ndpp_tpu.ops.twobody import twobody_panels, twobody_scatter
 
 _ROW_TILE = 8  # sublane tile
 
@@ -103,3 +104,38 @@ def twobody_inner_pallas(mid, half, a_s, b_s, kin, order: int, nq: int = 16, int
     resh = lambda x: x.reshape(n, chunk, *x.shape[1:])  # noqa: E731
     out = jax.lax.map(one_chunk, (resh(mid), resh(half), resh(a_s), resh(b_s), resh(kin)))
     return out.reshape(t, order + 1, s)
+
+
+@partial(jax.jit, static_argnames=("order", "nq", "clamp", "interpret"))
+def twobody_moments_pallas(
+    e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16, clamp: bool = True,
+    interpret: bool = False,
+):
+    """Full two-body moments with the fused Pallas inner stage (f32 path).
+
+    Drop-in signature match for ops.twobody.twobody_moments: the XLA
+    prologue (twobody_panels) and group scatter (twobody_scatter) are
+    shared; only the (row, subinterval, quad, order) accumulation runs in
+    the Pallas kernel. Production gating lives in driver._tiled_twobody
+    (device.precision='f32', single chip, TPU backend).
+    """
+    f32 = jnp.float32
+    e = e.astype(f32)
+    knots = knots.astype(f32)
+    pdf = pdf.astype(f32)
+    bounds32 = bounds.astype(f32)
+    mid, half, a_s, b_s, base, slope, ecm, e_safe, ap1, valid_e = twobody_panels(
+        e, knots, pdf, bounds32, c1, c2, awr, clamp
+    )
+    t, s = mid.shape
+    s_pad = -(-s // 128) * 128
+    t_pad = -(-t // _ROW_TILE) * _ROW_TILE
+    padw = lambda x: jnp.pad(x, ((0, t_pad - t), (0, s_pad - s)))  # noqa: E731
+    kin = jnp.stack(
+        [base, slope, jnp.sqrt(ecm), jnp.sqrt(e_safe) / ap1], axis=1
+    )  # (T, 4)
+    kin = jnp.pad(kin, ((0, t_pad - t), (0, 0)))
+    m = twobody_inner_pallas(
+        padw(mid), padw(half), padw(a_s), padw(b_s), kin, order, nq, interpret
+    )[:t, :, :s]  # (T, L+1, S)
+    return twobody_scatter(m, mid, half, base, slope, valid_e, bounds32, clamp)

@@ -23,20 +23,41 @@ from jax.sharding import PartitionSpec as P
 
 _MESH: Mesh | None = None
 _NDEV: int = 0
+_DTYPE = np.float64  # device compute dtype (cfg.device.precision; f64 default)
 
 
-def configure(max_devices: int = 0) -> int:
+def configure(max_devices: int = 0, precision: str = "f64") -> int:
     """(Re)build the flat 'e' mesh over up to max_devices chips (0 = all).
 
     Returns the device count in use. Called by the driver at run start;
     safe to call repeatedly (tests reconfigure between 1 and 8 devices).
+
+    precision sets the device compute dtype for every put_* call: 'f32' is
+    the fast preview path (~1e-6 moment accuracy, see test_precision);
+    'f64' (and 'dd', its accuracy-equivalent placeholder until the Pallas
+    double-double path lands — docs/design.md) computes in XLA-emulated
+    float64, the 1e-8 production path.
     """
-    global _MESH, _NDEV
+    global _MESH, _NDEV, _DTYPE
     devs = jax.devices()
     n = len(devs) if max_devices <= 0 else min(max_devices, len(devs))
     _NDEV = n
     _MESH = Mesh(np.asarray(devs[:n]), ("e",)) if n > 1 else None
+    _DTYPE = np.float32 if precision == "f32" else np.float64
     return n
+
+
+def compute_dtype():
+    """The configured device compute dtype (np.float64 or np.float32)."""
+    return _DTYPE
+
+
+def _cast(arr):
+    """Float arrays -> the configured compute dtype (ints/bools untouched)."""
+    a = np.asarray(arr)
+    if a.dtype.kind == "f" and a.dtype != _DTYPE:
+        return a.astype(_DTYPE)
+    return arr
 
 
 def ndev() -> int:
@@ -49,6 +70,7 @@ def put_rows(arr):
     """Host array -> device array sharded along axis 0 (rows) over the mesh."""
     if _NDEV == 0:
         configure()
+    arr = _cast(arr)
     if _MESH is None:
         import jax.numpy as jnp
 
@@ -61,6 +83,7 @@ def put_replicated(arr):
     """Host array -> device array replicated across the mesh (group bounds)."""
     if _NDEV == 0:
         configure()
+    arr = _cast(arr)
     if _MESH is None:
         import jax.numpy as jnp
 

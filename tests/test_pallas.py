@@ -45,6 +45,29 @@ def test_pallas_inner_matches_reference(rng):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6 * np.abs(ref).max())
 
 
+def test_pallas_full_path_matches_xla_f32():
+    """twobody_moments_pallas (the production f32 gate target) vs the plain
+    XLA kernel run in f32 on identical inputs: same prologue/epilogue, so
+    only inner-accumulation ordering differs (~f32 roundoff)."""
+    from ndpp_tpu.host.ace import synth
+    from ndpp_tpu.host.prep import prepare_twobody
+    from ndpp_tpu.ops.twobody import twobody_moments
+    from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+    from ndpp_tpu import groups
+
+    nuc = synth.h1_like(n_energy=16)
+    gs = groups.get("uniform-lethargy-47")
+    prep = prepare_twobody(nuc, nuc.elastic, nuc.energy[:16])
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    args = (f32(prep.e), f32(prep.knots), f32(prep.pdf), f32(gs.bounds))
+    tail = (prep.c1, prep.c2, prep.awr, 3, 8, True)
+    ref = np.asarray(twobody_moments(*args, *tail))
+    out = np.asarray(twobody_moments_pallas(*args, *tail, interpret=True))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out[:, 0, :].sum(axis=1), 1.0, rtol=1e-4)
+
+
 def test_pallas_shape_guards():
     z = jnp.zeros((8, 100), jnp.float32)  # 100 not lane-aligned
     with pytest.raises(AssertionError):
