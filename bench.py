@@ -72,6 +72,28 @@ def main() -> None:
     moments = TILE * (ORDER + 1) * NG * ITERS
     value = moments / dt
     vs = value / BASELINE_MOMENTS_PER_SEC if BASELINE_MOMENTS_PER_SEC else 1.0
+
+    # secondary: the f32 fused-Pallas fast path (device.precision='f32';
+    # production accuracy bar stays on the f64 primary above)
+    f32_value = None
+    if jax.devices()[0].platform == "tpu":
+        from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+
+        args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
+
+        def step32(e_arr):
+            out = twobody_moments_pallas(e_arr, *args32[1:], ORDER, NQ)
+            return out, e_arr * (1.0 + 1e-6 * out[0, 0, 0])
+
+        e32 = args32[0]
+        out, e32 = step32(e32)
+        float(np.asarray(out[0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out, e32 = step32(e32)
+        float(np.asarray(out[0, 0, 0]))
+        f32_value = moments / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -88,6 +110,7 @@ def main() -> None:
                     "iters": ITERS,
                     "seconds": round(dt, 4),
                     "dtype": "float64",
+                    "f32_pallas_moments_per_sec": round(f32_value, 1) if f32_value else None,
                 },
             }
         )

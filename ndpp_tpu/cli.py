@@ -33,6 +33,13 @@ def _cmd_run(args) -> int:
         cfg.resume = True
     if args.profile:
         cfg.device.profile = True
+    if args.debug_nans:
+        # device-side NaN/Inf tripwire (SURVEY.md section 5 'sanitizers'):
+        # any kernel producing a non-finite value raises at the offending op
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_debug_infs", True)
     metrics = driver.run(cfg)
     print(metrics.json_line())
     return 0 if metrics.nuclides_quarantined == 0 else 3
@@ -134,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("-o", "--override", action="append", default=[], metavar="KEY=VALUE")
     pr.add_argument("--resume", action="store_true", help="skip nuclides already complete in the output")
     pr.add_argument("--profile", action="store_true", help="enable device profiling")
+    pr.add_argument("--debug-nans", action="store_true", help="raise on any non-finite device value")
     pr.set_defaults(fn=_cmd_run)
 
     pf = sub.add_parser("fixtures", help="generate the synthetic ACE fixture library")

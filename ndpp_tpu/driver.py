@@ -217,6 +217,35 @@ def process_nuclide(
     return res
 
 
+def _process_with_oom_retry(nuc, gs, cfg, metrics, sab_tables):
+    """Device-OOM recovery (SURVEY.md section 5 'failure detection'): static
+    padded shapes make OOM deterministic in the tile size, so halving
+    device.e_tile and retrying is sound. Two halvings, then quarantine; any
+    other device runtime fault quarantines the nuclide instead of killing
+    the sweep."""
+    from copy import deepcopy
+
+    log = log_mod.get()
+    try_cfg = cfg
+    for attempt in range(3):
+        try:
+            return process_nuclide(nuc, gs, try_cfg, metrics, sab_tables=sab_tables)
+        except Exception as e:  # jaxlib.xla_extension.XlaRuntimeError has no stable import path
+            msg = f"{type(e).__name__}: {e}"
+            if type(e).__name__ != "XlaRuntimeError":
+                raise
+            oom = "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower() or "OOM" in msg
+            if oom and attempt < 2 and try_cfg.device.e_tile > 64:
+                try_cfg = deepcopy(try_cfg)
+                try_cfg.device.e_tile //= 2
+                log.warning(
+                    "%s: device OOM — retrying with e_tile=%d", nuc.name, try_cfg.device.e_tile
+                )
+                continue
+            raise NdppError(f"device runtime failure for {nuc.name}: {msg[:500]}") from e
+    raise AssertionError("unreachable")
+
+
 def run(cfg: RunConfig) -> RunMetrics:
     """Full library run: parse -> process -> write, with quarantine + resume."""
     log = log_mod.get()
@@ -295,7 +324,7 @@ def run(cfg: RunConfig) -> RunMetrics:
                 with timers.span("parse"):
                     nuc = futures.pop(name).result()
                 with timers.span("compute"):
-                    res = process_nuclide(nuc, gs, cfg, metrics, sab_tables=_sab_tables(name))
+                    res = _process_with_oom_retry(nuc, gs, cfg, metrics, _sab_tables(name))
                 with timers.span("write"):
                     for w in writers:
                         w.write_nuclide(res)

@@ -311,6 +311,14 @@ def decode(hdr: AceHeader, nxs: np.ndarray, jxs: np.ndarray, xss: np.ndarray) ->
         sigma_el=c.fa(esz + 3 * nes, nes),
         heating=c.fa(esz + 4 * nes, nes),
     )
+    # ESZ sanity: a corrupted table must fail HERE with the typed error the
+    # sweep quarantines on, not propagate garbage into the kernels
+    # ascending with equals allowed: the 12-digit ASCII mantissa can collapse
+    # ultra-close resonance grid points to equal neighbors
+    if nes < 2 or np.any(nuc.energy <= 0) or np.any(np.diff(nuc.energy) < 0):
+        raise AceFormatError("ESZ union energy grid must be positive and ascending")
+    if np.any(nuc.sigma_t < 0) or np.any(nuc.sigma_el < 0):
+        raise AceFormatError("ESZ cross sections must be non-negative")
 
     # NU
     if jxs[1] > 0:

@@ -104,3 +104,47 @@ def test_parse_rejects_truncated():
 
     with pytest.raises(AceFormatError):
         parse_ascii("\n".join(lines[: len(lines) // 2]))
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        "truncate_xss",
+        "bad_nxs_count",
+        "garbage_tokens",
+        "negative_locator",
+        "empty",
+        "short_header",
+    ],
+)
+def test_malformed_ace_raises_typed_error(mutate):
+    """Parser fuzz set (SURVEY.md section 5 'fault injection'): every
+    corruption mode must surface as AceFormatError — the typed error the
+    sweep quarantines on — never a crash or silent misparse."""
+    from ndpp_tpu.utils.errors import AceFormatError
+
+    text = format_ascii(synth.build("h1"))
+    lines = text.splitlines()
+    if mutate == "truncate_xss":
+        text = "\n".join(lines[: len(lines) // 3])
+    elif mutate == "bad_nxs_count":
+        # corrupt NXS(1) (first 9-char int field on the first NXS line)
+        i = 6  # header(2) + 4 IZ/AW lines
+        lines[i] = f"{999999999:9d}" + lines[i][9:]
+        text = "\n".join(lines)
+    elif mutate == "garbage_tokens":
+        lines[40] = "not a number at all ###"
+        text = "\n".join(lines)
+    elif mutate == "negative_locator":
+        # flip every XSS value on one line negative (locator region)
+        vals = lines[30]
+        lines[30] = "".join(
+            f"{-abs(float(vals[i : i + 20])):20.12E}" for i in range(0, len(vals), 20)
+        )
+        text = "\n".join(lines)
+    elif mutate == "empty":
+        text = ""
+    elif mutate == "short_header":
+        text = lines[0][:20]
+    with pytest.raises(AceFormatError):
+        parse_ascii(text)

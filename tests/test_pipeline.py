@@ -125,3 +125,38 @@ def test_missing_nuclide_quarantined(small_library, tmp_path):
     metrics = driver.run(cfg)
     assert metrics.nuclides_done == 1
     assert metrics.nuclides_quarantined == 1
+
+
+def test_oom_retry_halves_tile_then_quarantines(monkeypatch):
+    """Device-OOM recovery (driver._process_with_oom_retry): a fake
+    XlaRuntimeError carrying RESOURCE_EXHAUSTED triggers e_tile halving;
+    success on the shrunken tile returns the result. A persistent non-OOM
+    device fault becomes a quarantine-able NdppError."""
+    from ndpp_tpu import groups
+    from ndpp_tpu.utils.errors import NdppError
+
+    XlaRuntimeError = type("XlaRuntimeError", (RuntimeError,), {})
+    nuc = synth.h1_like(n_energy=16)
+    gs = groups.get("uniform-lethargy-47")
+    cfg = config_mod.RunConfig(legendre_order=1, temperatures=[293.6], thermal_cutoff_kt=1e-9)
+    cfg.device.e_tile = 512
+    seen_tiles = []
+
+    def fake_process(nuc_, gs_, cfg_, metrics_, sab_tables=None):
+        seen_tiles.append(cfg_.device.e_tile)
+        if len(seen_tiles) < 3:
+            raise XlaRuntimeError("RESOURCE_EXHAUSTED: out of memory allocating")
+        return "ok"
+
+    monkeypatch.setattr(driver, "process_nuclide", fake_process)
+    res = driver._process_with_oom_retry(nuc, gs, cfg, None, None)
+    assert res == "ok"
+    assert seen_tiles == [512, 256, 128]
+    assert cfg.device.e_tile == 512  # caller config untouched
+
+    def fault(nuc_, gs_, cfg_, metrics_, sab_tables=None):
+        raise XlaRuntimeError("INTERNAL: device halted")
+
+    monkeypatch.setattr(driver, "process_nuclide", fault)
+    with pytest.raises(NdppError, match="device runtime failure"):
+        driver._process_with_oom_retry(nuc, gs, cfg, None, None)
