@@ -79,6 +79,9 @@ class RunConfig:
     clamp_outside: bool = True  # out-of-range outgoing E collapses into edge groups
     thin_tol: float = 0.0  # >0: thin the moment grid where sigma interpolates within tol
     freegas_for: list[str] = field(default_factory=list)  # nuclide names; empty = all with A < 400... see prep
+    # weight the thermal elastic channel by the Doppler sigma_eff ratio
+    # between the requested and table temperatures (freegas_driver)
+    freegas_xs_weighting: bool = True
     # S(alpha,beta) assignments: nuclide name -> thermal table name(s)
     # (resolved via the library index, or the built-in synthetic fixtures)
     sab: dict[str, list[str]] = field(default_factory=dict)
@@ -122,6 +125,7 @@ def _build(data: dict) -> RunConfig:
         clamp_outside=bool(run.get("clamp_outside", True)),
         thin_tol=float(run.get("thin_tol", 0.0)),
         freegas_for=list(run.get("freegas_for", [])),
+        freegas_xs_weighting=bool(run.get("freegas_xs_weighting", True)),
         sab={
             str(k): ([str(v)] if isinstance(v, str) else [str(x) for x in v])
             for k, v in dict(run.get("sab", {})).items()

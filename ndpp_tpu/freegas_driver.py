@@ -21,6 +21,21 @@ from ndpp_tpu.ops.freegas import freegas_moments_pointwise
 from ndpp_tpu.utils import log as log_mod
 
 
+def doppler_sigma_ratio(e: np.ndarray, awr: float, kt: float) -> np.ndarray:
+    """Analytic sigma_eff/sigma_free for a Maxwellian free gas, constant
+    free-atom cross section:
+
+        (1 + 1/(2 x^2)) erf(x) + exp(-x^2) / (sqrt(pi) x),  x = sqrt(A E / kT)
+
+    The device quadrature reproduces this at ~1e-10 (test_freegas); the
+    driver uses the closed form directly for cross-section weighting.
+    """
+    from scipy.special import erf
+
+    x = np.sqrt(np.maximum(awr * np.asarray(e, dtype=np.float64) / kt, 1e-30))
+    return (1.0 + 0.5 / x**2) * erf(x) + np.exp(-(x**2)) / (np.sqrt(np.pi) * x)
+
+
 def apply_freegas(
     scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics=None, e_min_by_temp=None
 ) -> np.ndarray:
@@ -125,18 +140,43 @@ def apply_freegas(
         f0k = driver_mod._tiled_twobody(
             nuc, nuc.elastic, e_sub, gs.bounds, order, cfg.device.quad_points, tile, None, cfg.clamp_outside
         )
-        corr = ffg - f0k  # (ns, L+1, G) smooth in E
-        if sub_idx is not None:
-            full = np.empty((n_rows, order + 1, gs.ng))
+        def to_rows(arr):
+            """Lin-log-E interpolation from the subgrid onto the full rows
+            (both free-gas and 0K elastic kernel SHAPES are smooth in E)."""
+            if sub_idx is None:
+                return arr
             loge_sub = np.log(np.maximum(e_sub, 1e-300))
             loge = np.log(np.maximum(e_grid[rows], 1e-300))
-            flat = corr.reshape(ns, -1)
+            flat = arr.reshape(ns, -1)
             interp = np.empty((n_rows, flat.shape[1]))
             for j in range(flat.shape[1]):
                 interp[:, j] = np.interp(loge, loge_sub, flat[:, j])
-            full = interp.reshape(n_rows, order + 1, gs.ng)
-            corr = full
-        scatter[k, rows] = scatter[k, rows] + w_el[rows, None, None] * corr
+            return interp.reshape(n_rows, order + 1, gs.ng)
+
+        if cfg.freegas_xs_weighting:
+            # Doppler sigma_eff weighting: the elastic channel's cross
+            # section at the REQUESTED temperature is the table's scaled by
+            # the ratio of analytic free-gas sigma_eff factors (the free
+            # cross section cancels). Exactly 1 when T matches the table.
+            r = doppler_sigma_ratio(e_grid[rows], nuc.awr, kt) / doppler_sigma_ratio(
+                e_grid[rows], nuc.awr, max(nuc.kT, 1e-12)
+            )
+            ffg_full = to_rows(ffg)
+            f0k_full = to_rows(f0k)
+            sig_el_r = sigma_el[rows]
+            denom = sigma_s[rows] + sig_el_r * (r - 1.0)
+            ok = denom > 0
+            num = (
+                scatter[k, rows] * sigma_s[rows, None, None]
+                - sig_el_r[:, None, None] * f0k_full
+                + (sig_el_r * r)[:, None, None] * ffg_full
+            )
+            scatter[k, rows] = np.where(
+                ok[:, None, None], num / np.where(ok, denom, 1.0)[:, None, None], scatter[k, rows]
+            )
+        else:
+            corr = to_rows(ffg - f0k)  # (rows, L+1, G) smooth in E
+            scatter[k, rows] = scatter[k, rows] + w_el[rows, None, None] * corr
         if metrics is not None:
             metrics.moments_computed += ffg.size
         log.debug(

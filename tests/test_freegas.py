@@ -165,3 +165,40 @@ def test_pointwise_higher_moments_vs_dense_reference():
     for g in sel:
         scale = max(abs(ref[g][0]), 1e-300)
         assert np.abs(dev[:, g] - ref[g]).max() / scale < 1e-7, g
+
+
+def test_doppler_xs_weighting():
+    """freegas_xs_weighting: at the table temperature the sigma_eff ratio is
+    ~1 (unchanged result); at a hotter temperature the elastic channel is
+    re-weighted (result differs) while f0 normalization is preserved."""
+    from ndpp_tpu.freegas_driver import doppler_sigma_ratio
+
+    nuc = synth.h1_like(n_energy=80)
+    g = groups.get("uniform-lethargy-47")
+    e_grid = nuc.energy
+    base = np.zeros((1, e_grid.size, 3, g.ng))
+    base[:, :, 0, :] = 1.0 / g.ng  # normalized dummy rows
+
+    # analytic ratio sanity: monotone rise to 1 as x -> inf, large at small x
+    r = doppler_sigma_ratio(np.array([1e-6, 1e-3, 1.0, 1e3]), 0.999167, KT)
+    assert r[0] > r[1] > r[2] > r[3] >= 1.0 - 1e-9
+
+    cfg_on = config_mod.RunConfig(legendre_order=2, temperatures=[600.0])
+    cfg_off = config_mod.RunConfig(
+        legendre_order=2, temperatures=[600.0], freegas_xs_weighting=False
+    )
+    s_on = apply_freegas(base.copy(), nuc, g, cfg_on, e_grid)
+    s_off = apply_freegas(base.copy(), nuc, g, cfg_off, e_grid)
+    cut = 400 * config_mod.BOLTZMANN_EV_PER_K * 600.0
+    n1 = int(np.searchsorted(e_grid, cut))
+    assert np.abs(s_on[0, :n1] - s_off[0, :n1]).max() > 1e-4  # re-weighting bites at 600K
+    np.testing.assert_allclose(s_on[0, :n1, 0, :].sum(axis=1), 1.0, rtol=1e-6)
+
+    # at the table temperature the ratio is ~1: both forms agree closely
+    cfg_tab = config_mod.RunConfig(legendre_order=2, temperatures=[293.6])
+    cfg_tab_off = config_mod.RunConfig(
+        legendre_order=2, temperatures=[293.6], freegas_xs_weighting=False
+    )
+    t_on = apply_freegas(base.copy(), nuc, g, cfg_tab, e_grid)
+    t_off = apply_freegas(base.copy(), nuc, g, cfg_tab_off, e_grid)
+    assert np.abs(t_on - t_off).max() < 5e-4
