@@ -34,8 +34,7 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
     clamp = cfg.clamp_outside
     out = np.zeros((ne, gs.ng))
     if prep.kind == "lab-analytic":
-        nd = max(rows_mod.ndev(), 1)
-        tile = min(4096, -(-ne // nd)) * nd
+        tile = rows_mod.tile_for(ne, 4096, cfg.device.e_tile)
         pending = []
         for start, length in unionize.tile_indices(ne, tile):
             frac = analytic_group_fractions(
@@ -53,8 +52,7 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
         return out
     if prep.e_knots is None:
         raise AceFormatError(f"chi: unsupported spectrum kind {prep.kind!r}")
-    nd = max(rows_mod.ndev(), 1)
-    tile = min(1024, -(-ne // nd)) * nd
+    tile = rows_mod.tile_for(ne, 1024, cfg.device.e_tile)
     k16 = unionize.bucket_pow2(prep.e_knots.shape[1])
     kn = unionize.pad_to(prep.e_knots, k16, axis=1)
     pd = unionize.pad_to(prep.pdf, k16, axis=1)

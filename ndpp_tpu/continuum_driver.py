@@ -30,11 +30,17 @@ def _window_knot_bound(e_rows: np.ndarray, awr: float, e_knots: np.ndarray) -> i
     ke = e_knots.shape[1]
     yk = np.sqrt(np.maximum(e_knots, 0.0))
     s = np.sqrt(np.maximum(e_rows, 0.0)) / (awr + 1.0)
-    # per row: max count of knots within [yk_j, yk_j + 2s] over all j
+    # per row: max count of knots within [yk_j, yk_j + 2s] over all j —
+    # vectorized as a broadcast count over row chunks (a per-row python
+    # searchsorted loop was the host critical path on dense union grids)
     need = 2
-    for r in range(e_rows.size):
-        hi = np.searchsorted(yk[r], yk[r] + 2.0 * s[r], side="right")
-        need = max(need, int((hi - np.arange(ke)).max()) + 2)  # + bracketing panels
+    ar = np.arange(ke)
+    chunk = max(1, (1 << 22) // max(ke * ke, 1))
+    for start in range(0, e_rows.size, chunk):
+        ykc = yk[start : start + chunk]  # (C, KE), sorted per row
+        tgt = ykc + 2.0 * s[start : start + chunk, None]
+        hi = np.sum(ykc[:, None, :] <= tgt[:, :, None], axis=2)  # (C, KE)
+        need = max(need, int((hi - ar[None, :]).max()) + 2)  # + bracketing panels
     if need >= ke - 1:
         return 0  # full-knot path
     k = 4
@@ -43,16 +49,11 @@ def _window_knot_bound(e_rows: np.ndarray, awr: float, e_knots: np.ndarray) -> i
     return min(k, ke)
 
 
-def _tiles(ne: int, cap: int):
-    """Dispatch tile size: one <=cap power-of-two kernel tile per device."""
+def _tiles(ne: int, cap: int, e_tile: int = 512):
+    """Dispatch tile size (parallel.rows.tile_for) + the tile spans."""
     from ndpp_tpu.parallel import rows as rows_mod
 
-    nd = max(rows_mod.ndev(), 1)
-    per = -(-ne // nd)
-    tile = 1
-    while tile < per and tile < cap:
-        tile *= 2
-    tile = min(tile, cap) * nd
+    tile = rows_mod.tile_for(ne, cap, e_tile)
     return tile, unionize.tile_indices(ne, tile)
 
 
@@ -68,7 +69,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
 
     if prep.kind == "lab-analytic":
         law = prep.extra["law"]
-        tile, spans = _tiles(ne, 4096)
+        tile, spans = _tiles(ne, 4096, cfg.device.e_tile)
         pending = []
         for start, length in spans:
             e_t = unionize.pad_to(prep.e[start : start + length], tile)
@@ -88,7 +89,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         kn = unionize.pad_to(prep.e_knots, k16, axis=1)
         pd = unionize.pad_to(prep.pdf, k16, axis=1)
         mm = unionize.pad_to(prep.mom_knots, k16, axis=1)
-        tile, spans = _tiles(ne, 1024)
+        tile, spans = _tiles(ne, 1024, cfg.device.e_tile)
         pending = []
         for start, length in spans:
             res = lab_tabular_moments(
@@ -131,7 +132,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
             ksel = _window_knot_bound(prep.e, awr, kn)
-        tile, spans = _tiles(ne, _CONTINUUM_TILE)
+        tile, spans = _tiles(ne, _CONTINUUM_TILE, cfg.device.e_tile)
         pending = []
         for start, length in spans:
             sl = slice(start, start + length)
@@ -183,7 +184,7 @@ def _add_discrete_lines(out: np.ndarray, prep: ContinuumPrepared, gs, cfg) -> No
     p_d = unionize.pad_to(p_d, j4, axis=1, mode="constant")  # zero-probability pad
     am_d = unionize.pad_to(am_d, j4, axis=1)
     bounds = rows_mod.put_replicated(gs.bounds)
-    tile, spans = _tiles(ne, 4096)
+    tile, spans = _tiles(ne, 4096, cfg.device.e_tile)
     pending = []
     for start, length in spans:
         sl = slice(start, start + length)

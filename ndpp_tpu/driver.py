@@ -82,7 +82,7 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
         metrics.record_padding(prep.real_elements, prep.padded_elements)
     ne = e_grid.size
     nd = max(rows_mod.ndev(), 1)
-    tile = _pow2_at_most(-(-ne // nd), tile) * nd
+    tile = rows_mod.tile_for(ne, tile)  # callers pass cfg.device.e_tile as the cap
     # pow2-bucket the knot axis so reactions with similar table sizes share
     # one compiled kernel (compile >> padded compute; unionize.bucket_pow2)
     k16 = unionize.bucket_pow2(prep.knots.shape[1])
@@ -230,11 +230,22 @@ def _process_with_oom_retry(nuc, gs, cfg, metrics, sab_tables):
     for attempt in range(3):
         try:
             return process_nuclide(nuc, gs, try_cfg, metrics, sab_tables=sab_tables)
-        except Exception as e:  # jaxlib.xla_extension.XlaRuntimeError has no stable import path
+        except RuntimeError as e:
+            # jax device/compile failures surface as XlaRuntimeError or
+            # jax.errors.JaxRuntimeError (both RuntimeError subclasses with
+            # no stable import path); plain python RuntimeErrors quarantine
+            # too rather than killing the sweep
             msg = f"{type(e).__name__}: {e}"
-            if type(e).__name__ != "XlaRuntimeError":
-                raise
-            oom = "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower() or "OOM" in msg
+            oom = (
+                "RESOURCE_EXHAUSTED" in msg
+                or "out of memory" in msg.lower()
+                or "hbm capacity" in msg.lower()
+                or "OOM" in msg
+                # the axon remote compiler reports HBM-exhausted programs as
+                # an opaque HTTP 500 (the OOM detail stays in its own log);
+                # smaller tiles are the right response to any such failure
+                or "remote_compile" in msg
+            )
             if oom and attempt < 2 and try_cfg.device.e_tile > 64:
                 try_cfg = deepcopy(try_cfg)
                 try_cfg.device.e_tile //= 2

@@ -106,10 +106,14 @@ def apply_freegas(
         w = min(unionize.bucket_pow2(w), gs.ng)  # pow2 window buckets: minimize distinct kernel shapes
         from ndpp_tpu.parallel import rows as rows_mod
 
-        # modest thermal tiles: the kernel's scan program is large
+        # modest thermal tiles: the kernel's working set scales with
+        # rows x window groups (measured: 64 rows x 361 groups x P5 wants
+        # ~20 GB HBM at compile — over the v5e's 16), so the row cap
+        # shrinks as the window widens; e_tile halving (OOM retry) shrinks
+        # it further
         ns = e_sub.size
-        nd = max(rows_mod.ndev(), 1)
-        tile = driver_mod._pow2_at_most(-(-ns // nd), 64) * nd
+        cap = min(64, max(8, 4096 // max(w, 1)))
+        tile = rows_mod.tile_for(ns, cap, cfg.device.e_tile)
         ffg = np.zeros((ns, order + 1, gs.ng))
         pending = []
         # Single production path: the pointwise-E' kernel. The grouped
@@ -120,10 +124,22 @@ def apply_freegas(
         # and graded c-fill holds ~1e-8 (8/8/8) to ~1e-11 (12/16/16)
         # against the refinement-verified oracle.freegas_exact references
         # in every probed regime, and its cost is window-size independent.
-        bw = gs.bounds[: w + 1].copy()
-        if cfg.clamp_outside:
-            bw[0] = 0.0
+        #
+        # The kernel normalizes over ITS OWN window, so it always gets a
+        # COVERING one: an extra leading [0, bounds_0) catch group holds
+        # the below-range mass, which is folded into the edge group under
+        # clamping and DROPPED otherwise (sum_g f0 < 1, matching the 0K
+        # clamp=False convention; the covering window keeps the
+        # self-normalization exact either way).
+        bw = np.concatenate([[0.0], gs.bounds[: w + 1]])
         bounds_pw = rows_mod.put_replicated(bw)
+
+        def store(st, ln, pt):
+            arr = np.asarray(pt)[:ln]  # (ln, L+1, w+1): [catch, g0..g_{w-1}]
+            ffg[st : st + ln, :, :w] = arr[:, :, 1:]
+            if cfg.clamp_outside:
+                ffg[st : st + ln, :, 0] += arr[:, :, 0]
+
         for start, length in unionize.tile_indices(ns, tile):
             e_t = unionize.pad_to(e_sub[start : start + length], tile)
             part = freegas_moments_pointwise(
@@ -131,27 +147,20 @@ def apply_freegas(
             )
             pending.append((start, length, part))
             if len(pending) >= 2:  # bound the queued device work
-                st, ln, pt = pending.pop(0)
-                ffg[st : st + ln, :, :w] = np.asarray(pt)[:ln]
+                store(*pending.pop(0))
         for start, length, part in pending:
-            ffg[start : start + length, :, :w] = np.asarray(part)[:length]
+            store(start, length, part)
 
         # 0K elastic moments on the same rows (shape-consistent subtraction)
         f0k = driver_mod._tiled_twobody(
             nuc, nuc.elastic, e_sub, gs.bounds, order, cfg.device.quad_points, tile, None, cfg.clamp_outside
         )
         def to_rows(arr):
-            """Lin-log-E interpolation from the subgrid onto the full rows
-            (both free-gas and 0K elastic kernel SHAPES are smooth in E)."""
+            """Subgrid -> full rows (both free-gas and 0K elastic kernel
+            SHAPES are smooth in E; unionize.interp_rows_loglin)."""
             if sub_idx is None:
                 return arr
-            loge_sub = np.log(np.maximum(e_sub, 1e-300))
-            loge = np.log(np.maximum(e_grid[rows], 1e-300))
-            flat = arr.reshape(ns, -1)
-            interp = np.empty((n_rows, flat.shape[1]))
-            for j in range(flat.shape[1]):
-                interp[:, j] = np.interp(loge, loge_sub, flat[:, j])
-            return interp.reshape(n_rows, order + 1, gs.ng)
+            return unionize.interp_rows_loglin(e_grid[rows], e_sub, arr)
 
         if cfg.freegas_xs_weighting:
             # Doppler sigma_eff weighting: the elastic channel's cross

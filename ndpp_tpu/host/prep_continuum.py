@@ -451,25 +451,41 @@ def _law67_as_law61(data: LawData) -> LawData:
     moments the lab-tabular path already computes. Convention notes in
     records.AngleEnergySlice.
     """
-    from ndpp_tpu.host.prep import _eval_limit
-
     tables = []
     for t in data.ae_tables:
         if t.intmu != 2:
             raise AceFormatError(f"law 67 INTMU={t.intmu} unsupported (lin-lin only)")
         if t.mu.size < 2:
             raise AceFormatError("law 67 table needs >= 2 mu slices")
-        union = np.unique(np.concatenate([s.e_out for s in t.slices]))
-        joint = np.zeros((t.mu.size, union.size))
-        for i, s in enumerate(t.slices):
-            if s.intep == 2:
-                vals = np.interp(union, s.e_out, s.pdf, left=0.0, right=0.0)
-            elif s.intep == 1:
-                vals = _eval_limit(s.e_out, s.pdf, union, "right")
-                vals = np.where((union < s.e_out[0]) | (union >= s.e_out[-1]), 0.0, vals)
-            else:
+        for s in t.slices:
+            if s.intep not in (1, 2):
                 raise AceFormatError(f"law 67 INTEP={s.intep} unsupported")
-            joint[i] = vals
+        union = np.unique(np.concatenate([s.e_out for s in t.slices]))
+        if any(s.intep == 1 for s in t.slices):
+            # Histogram slices are piecewise-CONSTANT: represent the union
+            # exactly as a lin-lin table with doubled knots (panel-start and
+            # panel-end limits), preserving every step. Zero-width doubled
+            # panels integrate to zero downstream; jumps stay sharp.
+            mid = 0.5 * (union[:-1] + union[1:])
+            grid = np.empty(2 * (union.size - 1))
+            grid[0::2] = union[:-1]
+            grid[1::2] = union[1:]
+            joint = np.zeros((t.mu.size, grid.size))
+            for i, s in enumerate(t.slices):
+                if s.intep == 2:
+                    joint[i] = np.interp(grid, s.e_out, s.pdf, left=0.0, right=0.0)
+                else:
+                    # histogram: pdf[p] IS the constant on [e_p, e_{p+1})
+                    pj = np.clip(np.searchsorted(s.e_out, mid, side="right") - 1, 0, s.e_out.size - 2)
+                    pv = s.pdf[pj]
+                    pv = np.where((mid < s.e_out[0]) | (mid >= s.e_out[-1]), 0.0, pv)
+                    joint[i, 0::2] = pv
+                    joint[i, 1::2] = pv
+            union = grid
+        else:
+            joint = np.zeros((t.mu.size, union.size))
+            for i, s in enumerate(t.slices):
+                joint[i] = np.interp(union, s.e_out, s.pdf, left=0.0, right=0.0)
         # angular marginal (lin-lin trapezoid over mu) = the E' pdf
         marg = np.sum(0.5 * (joint[1:] + joint[:-1]) * np.diff(t.mu)[:, None], axis=0)
         total = np.trapezoid(marg, union)

@@ -50,10 +50,10 @@ class ThermalPrepared:
 
 
 def _pad_pow2(n: int, lo: int = 8) -> int:
-    p = lo
-    while p < n:
-        p *= 2
-    return p
+    """Canonical pow2 shape bucket (see unionize.bucket_pow2 for rationale)."""
+    from ndpp_tpu.host.unionize import bucket_pow2
+
+    return bucket_pow2(n, lo)
 
 
 def prepare_thermal(tab: ThermalTable, order: int) -> ThermalPrepared:

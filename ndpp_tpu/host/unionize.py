@@ -80,6 +80,22 @@ def n_tiles(n: int, tile: int) -> int:
     return max(1, math.ceil(n / tile))
 
 
+def interp_rows_loglin(e_dst: np.ndarray, e_src: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Lin-log-E interpolation of per-row tensors (NEsrc, ...) -> (NEdst, ...).
+
+    Shared by the free-gas and thermal drivers for SMOOTH-in-E moment
+    shapes evaluated on bounded subgrids (delta-like shapes must be placed
+    per row instead — see thermal_driver).
+    """
+    x = np.log(np.maximum(e_dst, 1e-300))
+    xs = np.log(np.maximum(e_src, 1e-300))
+    flat = vals.reshape(e_src.size, -1)
+    out = np.empty((e_dst.size, flat.shape[1]))
+    for j in range(flat.shape[1]):
+        out[:, j] = np.interp(x, xs, flat[:, j])
+    return out.reshape((e_dst.size,) + vals.shape[1:])
+
+
 def bucket_pow2(n: int, lo: int = 16) -> int:
     """Smallest power of two >= n (floored at lo).
 

@@ -91,6 +91,18 @@ def put_replicated(arr):
     return jax.device_put(arr, NamedSharding(_MESH, P()))
 
 
-def super_tile(tile: int) -> int:
-    """Rows per dispatch: one kernel-tile per device."""
-    return tile * max(ndev(), 1)
+def tile_for(n: int, cap: int, e_tile: int = 512) -> int:
+    """Rows per dispatch: one pow2 kernel tile (cap-bounded) per device.
+
+    `cap` is each kernel family's default row budget and SCALES with
+    cfg.device.e_tile relative to its 512 default, so the driver's
+    device-OOM retry (which halves e_tile) shrinks every kernel family's
+    dispatch shape, not just the two-body path.
+    """
+    nd = max(ndev(), 1)
+    cap = max(16, cap * e_tile // 512)
+    per = -(-n // nd)
+    tile = 1
+    while tile < per and tile < cap:
+        tile *= 2
+    return min(tile, cap) * nd

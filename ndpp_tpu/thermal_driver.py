@@ -79,13 +79,9 @@ def match_tables(tables: list[ThermalTable], temps_k: list[float]):
 
 def _interp_rows(e_rows: np.ndarray, e_tab: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Lin-log-E interpolation of (NEtab, ...) onto (NR, ...)."""
-    x = np.log(np.maximum(e_rows, 1e-30))
-    xt = np.log(np.maximum(e_tab, 1e-30))
-    flat = vals.reshape(e_tab.size, -1)
-    out = np.empty((e_rows.size, flat.shape[1]))
-    for j in range(flat.shape[1]):
-        out[:, j] = np.interp(x, xt, flat[:, j])
-    return out.reshape((e_rows.size,) + vals.shape[1:])
+    from ndpp_tpu.host.unionize import interp_rows_loglin
+
+    return interp_rows_loglin(e_rows, e_tab, vals)
 
 
 def apply_sab(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, tables, metrics=None) -> np.ndarray:
@@ -121,7 +117,11 @@ def apply_sab(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, tables, met
 
     bounds_cl = gs.bounds.copy()
     if cfg.clamp_outside:
+        # both edges must swallow out-of-range outgoing energies (same
+        # semantics as every other kernel's clamp): thermal E' can exceed
+        # the top boundary of a coarse user structure
         bounds_cl[0] = 0.0
+        bounds_cl[-1] = np.inf
     bounds_d = jnp.asarray(bounds_cl)
 
     prep_cache: dict[str, object] = {}
@@ -149,16 +149,35 @@ def apply_sab(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, tables, met
                     jnp.asarray(ek), jnp.asarray(pf), jnp.asarray(am), bounds_d, order
                 )
             )[:ne_t]
+            f_inel = _interp_rows(e_rows, prep.e_in, f_tab)  # (NR, L+1, G)
         else:
-            eo = np.concatenate([prep.e_out, np.repeat(prep.e_out[-1:], pad_t - ne_t, 0)])
-            am = np.concatenate([prep.am_lines, np.repeat(prep.am_lines[-1:], pad_t - ne_t, 0)])
-            f_tab = np.asarray(
-                thermal_discrete_moments(
-                    jnp.asarray(eo), jnp.asarray(prep.w_lines), jnp.asarray(am), bounds_d,
-                    clamp=cfg.clamp_outside,
+            # discrete lines are deltas: interpolating PLACED (L+1, G)
+            # matrices across incident energy would smear each line over
+            # two groups near its crossing. Instead interpolate the line
+            # ENERGIES and angular factors onto every union row and place
+            # exactly per row (same policy as prep_continuum ND>0 lines).
+            if ne_t > 1:
+                ii = np.clip(np.searchsorted(prep.e_in, e_rows, side="right") - 1, 0, ne_t - 2)
+                tf = np.clip(
+                    (e_rows - prep.e_in[ii]) / (prep.e_in[ii + 1] - prep.e_in[ii]), 0.0, 1.0
                 )
-            )[:ne_t]
-        f_inel = _interp_rows(e_rows, prep.e_in, f_tab)  # (NR, L+1, G)
+                e_lines = (1 - tf)[:, None] * prep.e_out[ii] + tf[:, None] * prep.e_out[ii + 1]
+                am_lines = (
+                    (1 - tf)[:, None, None] * prep.am_lines[ii]
+                    + tf[:, None, None] * prep.am_lines[ii + 1]
+                )
+            else:
+                e_lines = np.broadcast_to(prep.e_out[0], (n_rows,) + prep.e_out.shape[1:])
+                am_lines = np.broadcast_to(prep.am_lines[0], (n_rows,) + prep.am_lines.shape[1:])
+            pad_rr = _pad_pow2(n_rows, lo=64)
+            e_pad_l = unionize.pad_to(np.ascontiguousarray(e_lines), pad_rr)
+            am_pad_l = unionize.pad_to(np.ascontiguousarray(am_lines), pad_rr)
+            f_inel = np.asarray(
+                thermal_discrete_moments(
+                    jnp.asarray(e_pad_l), jnp.asarray(prep.w_lines), jnp.asarray(am_pad_l),
+                    bounds_d, clamp=cfg.clamp_outside,
+                )
+            )[:n_rows]
         sig_i = np.interp(e_rows, prep.e_in, prep.sigma_in, left=0.0, right=0.0)
 
         # --- elastic channel, exact placement per row

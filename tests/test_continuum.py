@@ -173,3 +173,53 @@ def test_law1_and_law5_conversions():
     nuc = synth.build("law1")
     y = reaction_yield(nuc.reactions[16], np.array([2.2e6, 2e7]), include_yield=True)
     np.testing.assert_allclose(y, [1.2, 2.0], rtol=1e-12)
+
+
+def test_law67_histogram_slices_exact():
+    """INTEP=1 (histogram) law-67 slices must integrate exactly as
+    piecewise constants (doubled-knot representation), not be smeared
+    lin-lin (code-review fix). Constant-in-E' panels with mu-linear joint
+    have closed-form group fractions."""
+    from ndpp_tpu.host.ace.records import AngleEnergySlice, AngleEnergyTable, LawData
+    from ndpp_tpu.host.prep_continuum import _law67_as_law61
+
+    mu = np.array([-1.0, 1.0])
+    eo = np.array([0.0, 1.0, 3.0])  # two panels
+    # joint histogram: panel densities per (mu slice): values at the 2 mus
+    # f(mu, E') = a_p + b_p * mu on panel p, constant in E'
+    a = np.array([0.30, 0.10])  # panel averages over mu: integral 2*a_p*width
+    b = np.array([0.05, -0.025])
+    slices = []
+    for m in mu:
+        pdf = np.array([a[0] + b[0] * m, a[1] + b[1] * m, 0.0])
+        cdf = np.array([0.0, pdf[0] * 1.0, pdf[0] * 1.0 + pdf[1] * 2.0])
+        slices.append(AngleEnergySlice(intep=1, e_out=eo, pdf=pdf, cdf=cdf))
+    # total mass: sum_p width_p * 2*a_p = 1*0.6 + 2*0.4 = 1.0 (normalized)
+    data = LawData(
+        law=67,
+        energies=np.array([1.0, 2.0]),
+        ae_tables=[AngleEnergyTable(intmu=2, mu=mu, slices=slices)] * 2,
+    )
+    red = _law67_as_law61(data)
+    t = red.tables[0]
+    # marginal must be an exact step function: 0.6 on [0,1), 0.4/... checks
+    # via integrals against group-like cuts
+    def marg_integral(lo, hi):
+        xs = np.linspace(lo, hi, 20001)
+        return np.trapezoid(np.interp(xs, t.e_out, t.pdf), xs)
+
+    np.testing.assert_allclose(marg_integral(0.0, 1.0), 0.6, rtol=1e-3)
+    np.testing.assert_allclose(marg_integral(1.0, 3.0), 0.4, rtol=1e-3)
+    np.testing.assert_allclose(marg_integral(0.5, 1.5), 0.3 + 0.1, rtol=1e-3)
+    # per-knot conditional P1 moment: integral of mu * f / marg = (2/3) b_p / (2 a_p)
+    from ndpp_tpu.host.prep_continuum import _angular_table_moments
+
+    for k in range(t.e_out.size):
+        x = t.e_out[k]
+        # doubled grid [0, 1, 1, 3]: odd indices are panel ENDS (carry the
+        # left panel's value), even indices are panel starts
+        p = 0 if (x < 1.0 or (x == 1.0 and k % 2 == 1)) else 1
+        if t.angular[k] is None:
+            continue
+        m1 = _angular_table_moments(t.angular[k], 1)[1]
+        np.testing.assert_allclose(m1, (b[p] / 3.0) / a[p], rtol=1e-9, err_msg=f"k={k} x={x}")

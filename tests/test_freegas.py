@@ -202,3 +202,36 @@ def test_doppler_xs_weighting():
     t_on = apply_freegas(base.copy(), nuc, g, cfg_tab, e_grid)
     t_off = apply_freegas(base.copy(), nuc, g, cfg_tab_off, e_grid)
     assert np.abs(t_on - t_off).max() < 5e-4
+
+
+def test_driver_clamp_false_drops_out_of_range_mass():
+    """clamp_outside=False regression fix: the driver feeds the kernel a
+    COVERING window with a leading [0, bounds_0) catch group, so the
+    self-normalization stays exact and the below-range mass is an explicit
+    group — folded into the edge group under clamping, dropped otherwise
+    (previously a truncated window silently renormalized retained mass
+    to 1)."""
+    awr, b0 = 0.999167, 1e-2
+    g = groups.uniform_lethargy("fg-noclamp", 20, b0, 2e7)
+    bw = np.concatenate([[0.0], g.bounds[:12]])  # the driver's covering recipe
+    part = np.asarray(
+        freegas_moments_pointwise(jnp.asarray([KT / 2]), awr, KT, jnp.asarray(bw), 0)
+    )[0, 0]
+    # covering window -> exact normalization INCLUDING the catch group
+    np.testing.assert_allclose(part.sum(), 1.0, rtol=1e-8)
+    # a cold H row genuinely scatters below 1e-2 eV: the catch group holds
+    # real mass, so dropping it (clamp=False) must NOT be a no-op
+    assert part[0] > 0.02, part[0]
+
+    # driver level: clamp True vs False differ exactly on thermal rows
+    nuc = synth.h1_like(n_energy=60)
+    e_grid = nuc.energy
+    base = np.zeros((1, e_grid.size, 2, g.ng))
+    kw = dict(legendre_order=1, temperatures=[293.6], freegas_xs_weighting=False)
+    s_t = apply_freegas(base.copy(), nuc, g, config_mod.RunConfig(clamp_outside=True, **kw), e_grid)
+    s_f = apply_freegas(base.copy(), nuc, g, config_mod.RunConfig(clamp_outside=False, **kw), e_grid)
+    cut = 400 * config_mod.BOLTZMANN_EV_PER_K * 293.6
+    n1 = int(np.searchsorted(e_grid, cut))
+    d = np.abs(s_t[0, :n1, 0, :].sum(axis=1) - s_f[0, :n1, 0, :].sum(axis=1))
+    assert d.max() > 1e-3  # the catch-group mass is really dropped vs folded
+    assert np.all(np.isfinite(s_t)) and np.all(np.isfinite(s_f))
