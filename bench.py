@@ -8,9 +8,17 @@ Prints ONE JSON line:
 
 The metric counts computed moment values (E-points x (L+1) x G) per second
 of steady-state device execution at a production-like shape (P5, 361
-groups, 2048-point E-tiles), matching BASELINE.json:2. ``vs_baseline``
-is relative to the round-1 pinned self-baseline in BASELINE.md (no
-reference numbers exist on this machine; see BASELINE.md).
+groups, 2048-point E-tiles), matching BASELINE.json:2. The PRIMARY value
+is the fastest accuracy-compliant path (<= 1e-8 rel per moment): the
+Pallas double-double kernel on TPU (~1e-11 vs f64; tests/test_pallas.py),
+the XLA f64 kernel elsewhere. ``vs_baseline`` is relative to the round-1
+pinned self-baseline in BASELINE.md (no reference numbers exist on this
+machine; see BASELINE.md).
+
+Timing methodology (see BASELINE.md): ONE device execution of a
+lax.fori_loop whose carry chains a perturbation of the inputs through
+every iteration — the axon remote layer elides repeated identical
+executions, and per-iteration host round-trips are noise on a 1-core box.
 """
 
 from __future__ import annotations
@@ -33,6 +41,29 @@ NG = 361
 ITERS = 20
 
 
+def _rate(fn, e0, eps_scale):
+    """moments/s of fn over ITERS chained iterations in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(e_arr):
+        def body(i, e_arr):
+            out = fn(e_arr)
+            return e_arr * (1.0 + eps_scale * out[0, 0, 0].astype(e_arr.dtype))
+
+        return lax.fori_loop(0, ITERS, body, e_arr)
+
+    out = run(e0)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = run(e0 * jnp.asarray(1.0 + 1e-9, e0.dtype))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return TILE * (ORDER + 1) * NG * ITERS / dt, dt
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -44,7 +75,6 @@ def main() -> None:
     e, knots, pdf, _, c1, c2, awr = ge._example_batch(1, TILE, k=K, ng=NG)
     bounds = groups.get("uniform-lethargy-361").bounds
     args = (
-        jnp.asarray(e[0]),
         jnp.asarray(knots[0]),
         jnp.asarray(pdf[0]),
         jnp.asarray(bounds),
@@ -52,53 +82,40 @@ def main() -> None:
         jnp.asarray(np.repeat(c2, TILE)),
         jnp.asarray(np.repeat(awr, TILE)),
     )
+    e0 = jnp.asarray(e[0])
 
-    def step(e_arr):
-        # perturb the energies each iteration so no caching layer can elide
-        # work, and chain the dependency through the output so iterations
-        # serialize even under fully async dispatch
-        out = twobody_moments(e_arr, *args[1:], ORDER, NQ)
-        return out, e_arr * (1.0 + 1e-12 * out[0, 0, 0])
+    f64_rate, f64_dt = _rate(
+        lambda e_arr: twobody_moments(e_arr, *args, ORDER, NQ), e0, 1e-13
+    )
 
-    e_arr = args[0]
-    out, e_arr = step(e_arr)
-    float(np.asarray(out[0, 0, 0]))  # compile + warm + forced sync
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out, e_arr = step(e_arr)
-    float(np.asarray(out[0, 0, 0]))  # host pull: hard synchronization point
-    dt = time.perf_counter() - t0
-
-    moments = TILE * (ORDER + 1) * NG * ITERS
-    value = moments / dt
-    vs = value / BASELINE_MOMENTS_PER_SEC if BASELINE_MOMENTS_PER_SEC else 1.0
-
-    # secondary: the f32 fused-Pallas fast path (device.precision='f32';
-    # production accuracy bar stays on the f64 primary above)
-    f32_value = None
-    if jax.devices()[0].platform == "tpu":
+    dd_rate = f32_rate = None
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
         from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+        from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
 
+        dd_rate, _ = _rate(
+            lambda e_arr: twobody_moments_dd(e_arr, *args, ORDER, NQ), e0, 1e-13
+        )
         args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
+        f32_rate, _ = _rate(
+            lambda e_arr: twobody_moments_pallas(e_arr, *args32, ORDER, NQ),
+            jnp.asarray(e0, jnp.float32),
+            1e-6,
+        )
 
-        def step32(e_arr):
-            out = twobody_moments_pallas(e_arr, *args32[1:], ORDER, NQ)
-            return out, e_arr * (1.0 + 1e-6 * out[0, 0, 0])
-
-        e32 = args32[0]
-        out, e32 = step32(e32)
-        float(np.asarray(out[0, 0, 0]))
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out, e32 = step32(e32)
-        float(np.asarray(out[0, 0, 0]))
-        f32_value = moments / (time.perf_counter() - t0)
+    # primary: fastest ACCURACY-COMPLIANT path (dd ~1e-11 vs f64; f32 is
+    # the ~1e-6 preview path and stays a detail entry)
+    primary, primary_path = max(
+        [(f64_rate, "f64-xla")] + ([(dd_rate, "dd-pallas")] if dd_rate else []),
+    )
+    vs = primary / BASELINE_MOMENTS_PER_SEC if BASELINE_MOMENTS_PER_SEC else 1.0
 
     print(
         json.dumps(
             {
                 "metric": "nuclide-group-moments/sec",
-                "value": round(value, 1),
+                "value": round(primary, 1),
                 "unit": "moments/s",
                 "vs_baseline": round(vs, 4),
                 "detail": {
@@ -108,9 +125,10 @@ def main() -> None:
                     "order": ORDER,
                     "groups": NG,
                     "iters": ITERS,
-                    "seconds": round(dt, 4),
-                    "dtype": "float64",
-                    "f32_pallas_moments_per_sec": round(f32_value, 1) if f32_value else None,
+                    "path": primary_path,
+                    "f64_moments_per_sec": round(f64_rate, 1),
+                    "dd_pallas_moments_per_sec": round(dd_rate, 1) if dd_rate else None,
+                    "f32_pallas_moments_per_sec": round(f32_rate, 1) if f32_rate else None,
                 },
             }
         )

@@ -90,16 +90,23 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     pdf = unionize.pad_to(prep.pdf, k16, axis=1)
     out = np.empty((ne, order + 1, bounds.size - 1))
     b = rows_mod.put_replicated(bounds)
-    # f32 fast path: the fused Pallas inner kernel (single chip, TPU only —
-    # XLA cannot auto-partition a pallas custom call over the 'e' mesh)
+    # Pallas fast paths (single chip, non-CPU backend only — XLA cannot
+    # auto-partition a pallas custom call over the 'e' mesh): f32 is the
+    # ~1e-6 preview path; dd is the double-double inner stage, ~1e-11 vs
+    # the f64 XLA kernel (test_pallas) — accuracy-compliant.
     kernel_fn = twobody_moments
-    if rows_mod.compute_dtype() == np.float32 and nd == 1:
+    if nd == 1:
         import jax
 
-        if jax.default_backend() == "tpu":
-            from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+        if jax.default_backend() != "cpu":
+            if rows_mod.precision() == "f32":
+                from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
 
-            kernel_fn = twobody_moments_pallas
+                kernel_fn = twobody_moments_pallas
+            elif rows_mod.precision() == "dd":
+                from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
+
+                kernel_fn = twobody_moments_dd
     # dispatch every tile asynchronously, then gather: one tunnel round-trip
     # instead of one per tile
     pending = []
@@ -266,9 +273,12 @@ def run(cfg: RunConfig) -> RunMetrics:
 
     from ndpp_tpu.parallel import rows as rows_mod
 
-    if cfg.device.precision == "dd":
-        log.warning("device.precision='dd' runs as f64 until the Pallas double-double path lands")
     nd = rows_mod.configure(cfg.device.max_devices, cfg.device.precision)
+    if cfg.device.precision == "dd":
+        log.info(
+            "dd path: two-body inner stage runs the Pallas double-double kernel "
+            "(~1e-11 vs f64); other kernel families run f64"
+        )
     if nd > 1:
         log.info("row-sharded dispatch over %d devices", nd)
     if cfg.device.precision == "f32":

@@ -80,9 +80,12 @@ def twobody_inner_pallas(mid, half, a_s, b_s, kin, order: int, nq: int = 16, int
     # grid-free programs compile fine. So: one grid-free program per
     # VMEM-sized row chunk, mapped over chunks with lax.map.
     chunk = _ROW_TILE
-    while chunk * 2 * s * 4 * (5 + order + 1) <= 8 * 1024 * 1024 and chunk < t:
+    while (
+        chunk * 2 * s * 4 * (5 + order + 1) <= 8 * 1024 * 1024
+        and chunk * 2 <= t
+        and t % (chunk * 2) == 0
+    ):
         chunk *= 2
-    chunk = min(chunk, t)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def one_chunk(args):

@@ -24,6 +24,7 @@ from jax.sharding import PartitionSpec as P
 _MESH: Mesh | None = None
 _NDEV: int = 0
 _DTYPE = np.float64  # device compute dtype (cfg.device.precision; f64 default)
+_PRECISION = "f64"
 
 
 def configure(max_devices: int = 0, precision: str = "f64") -> int:
@@ -34,22 +35,29 @@ def configure(max_devices: int = 0, precision: str = "f64") -> int:
 
     precision sets the device compute dtype for every put_* call: 'f32' is
     the fast preview path (~1e-6 moment accuracy, see test_precision);
-    'f64' (and 'dd', its accuracy-equivalent placeholder until the Pallas
-    double-double path lands — docs/design.md) computes in XLA-emulated
-    float64, the 1e-8 production path.
+    'f64' computes in XLA-emulated float64, the 1e-8 production path;
+    'dd' keeps f64 tensors on the wire but lets kernels with a Pallas
+    double-double inner stage (ops/twobody_pallas_dd) dispatch it —
+    ~1e-11 agreement with f64 (test_pallas), docs/design.md.
     """
-    global _MESH, _NDEV, _DTYPE
+    global _MESH, _NDEV, _DTYPE, _PRECISION
     devs = jax.devices()
     n = len(devs) if max_devices <= 0 else min(max_devices, len(devs))
     _NDEV = n
     _MESH = Mesh(np.asarray(devs[:n]), ("e",)) if n > 1 else None
     _DTYPE = np.float32 if precision == "f32" else np.float64
+    _PRECISION = precision
     return n
 
 
 def compute_dtype():
     """The configured device compute dtype (np.float64 or np.float32)."""
     return _DTYPE
+
+
+def precision() -> str:
+    """The configured precision string ('f64' | 'f32' | 'dd')."""
+    return _PRECISION
 
 
 def _cast(arr):

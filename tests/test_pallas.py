@@ -68,6 +68,32 @@ def test_pallas_full_path_matches_xla_f32():
     np.testing.assert_allclose(out[:, 0, :].sum(axis=1), 1.0, rtol=1e-4)
 
 
+def test_pallas_dd_full_path_matches_f64():
+    """twobody_moments_dd (the accuracy-compliant Pallas path) vs the XLA
+    f64 kernel on identical inputs: prologue/epilogue shared in f64, so the
+    comparison isolates the dd inner stage. Bar: 1e-11 relative — three
+    orders tighter than the 1e-8 product bar."""
+    from ndpp_tpu.host.ace import synth
+    from ndpp_tpu.host.prep import prepare_twobody
+    from ndpp_tpu.ops.twobody import twobody_moments
+    from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
+    from ndpp_tpu import groups
+
+    # interpret mode executes every unrolled dd op in Python — keep the
+    # static op count (order x nq) and element count small or this test
+    # alone takes >15 min on the 1-core box
+    nuc = synth.h1_like(n_energy=8)
+    gs = groups.uniform_lethargy("ul-12", 12)
+    prep = prepare_twobody(nuc, nuc.elastic, nuc.energy[:8])
+    args = (jnp.asarray(prep.e), jnp.asarray(prep.knots), jnp.asarray(prep.pdf), jnp.asarray(gs.bounds))
+    tail = (prep.c1, prep.c2, prep.awr, 3, 6, True)
+    ref = np.asarray(twobody_moments(*args, *tail))
+    out = np.asarray(twobody_moments_dd(*args, *tail, interpret=True))
+    assert out.dtype == np.float64
+    np.testing.assert_allclose(out, ref, rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(out[:, 0, :].sum(axis=1), 1.0, rtol=1e-11)
+
+
 def test_pallas_shape_guards():
     z = jnp.zeros((8, 100), jnp.float32)  # 100 not lane-aligned
     with pytest.raises(AssertionError):
