@@ -84,19 +84,34 @@ def main() -> None:
     )
     e0 = jnp.asarray(e[0])
 
+    # Time budget: cold compiles on the remote axon compiler cost 60-100 s
+    # per distinct kernel shape; on a cold cache the three paths together can
+    # blow the driver's window and record NOTHING. Measure the mandatory f64
+    # path first, then add the optional paths only while inside the budget —
+    # the persistent compile cache means a later (or the driver's) run picks
+    # up where a timed-out one left off.
+    # Default sized for the driver's round-end run: the f64 bench-shape
+    # compile alone measured >10 min on a degraded/slow container (2026-08-20),
+    # and the dd path costs a comparable compile; 1500 s leaves room for both
+    # while still guaranteeing a printed JSON line if the container is slow.
+    budget_s = float(__import__("os").environ.get("NDPP_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+
     f64_rate, f64_dt = _rate(
         lambda e_arr: twobody_moments(e_arr, *args, ORDER, NQ), e0, 1e-13
     )
 
     dd_rate = f32_rate = None
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+    if on_tpu and time.perf_counter() - t_start < budget_s:
         from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
 
         dd_rate, _ = _rate(
             lambda e_arr: twobody_moments_dd(e_arr, *args, ORDER, NQ), e0, 1e-13
         )
+    if on_tpu and time.perf_counter() - t_start < budget_s:
+        from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+
         args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
         f32_rate, _ = _rate(
             lambda e_arr: twobody_moments_pallas(e_arr, *args32, ORDER, NQ),
