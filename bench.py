@@ -24,6 +24,7 @@ executions, and per-iteration host round-trips are noise on a 1-core box.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -85,16 +86,18 @@ def main() -> None:
     e0 = jnp.asarray(e[0])
 
     # Time budget: cold compiles on the remote axon compiler cost 60-100 s
-    # per distinct kernel shape; on a cold cache the three paths together can
-    # blow the driver's window and record NOTHING. Measure the mandatory f64
-    # path first, then add the optional paths only while inside the budget —
-    # the persistent compile cache means a later (or the driver's) run picks
-    # up where a timed-out one left off.
-    # Default sized for the driver's round-end run: the f64 bench-shape
-    # compile alone measured >10 min on a degraded/slow container (2026-08-20),
-    # and the dd path costs a comparable compile; 1500 s leaves room for both
-    # while still guaranteeing a printed JSON line if the container is slow.
-    budget_s = float(__import__("os").environ.get("NDPP_BENCH_BUDGET_S", "1500"))
+    # per distinct kernel shape (>10 min for the f64 bench shape on a
+    # degraded container, 2026-08-20), and the big-kernel executables were
+    # observed NOT to land in the persistent compile cache on this container
+    # — so a timed-out path must be assumed lost, not resumable. Measure the
+    # mandatory f64 path first, then START each optional path only while
+    # inside the budget (the guard bounds path *starts*, not total runtime:
+    # a path begun just under budget can still overrun, but the f64 JSON
+    # line is guaranteed once f64 itself finishes).
+    try:
+        budget_s = float(os.environ.get("NDPP_BENCH_BUDGET_S", "1500"))
+    except ValueError:
+        budget_s = 1500.0
     t_start = time.perf_counter()
 
     f64_rate, f64_dt = _rate(
