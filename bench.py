@@ -1,19 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: nuclide-group-moments/sec on the flagship two-body kernel.
+"""Benchmark: nuclide-group-moments/sec, per kernel family + composite.
 
 Runs on whatever backend jax selects (the real TPU under the driver).
 Prints ONE JSON line:
   {"metric": "nuclide-group-moments/sec", "value": N, "unit": "moments/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "detail": {...}}
 
-The metric counts computed moment values (E-points x (L+1) x G) per second
-of steady-state device execution at a production-like shape (P5, 361
-groups, 2048-point E-tiles), matching BASELINE.json:2. The PRIMARY value
-is the fastest accuracy-compliant path (<= 1e-8 rel per moment): the
-Pallas double-double kernel on TPU (~1e-11 vs f64; tests/test_pallas.py),
-the XLA f64 kernel elsewhere. ``vs_baseline`` is relative to the round-1
-pinned self-baseline in BASELINE.md (no reference numbers exist on this
-machine; see BASELINE.md).
+The PRIMARY value is the flagship two-body kernel on the fastest
+accuracy-compliant path (<= 1e-8 rel per moment): the Pallas double-double
+kernel on TPU (~1e-11 vs f64; tests/test_pallas.py), the XLA f64 kernel
+elsewhere — measured at the production shape (P5, 361 groups, 2048-point
+E-tiles, 16-pt GL), matching BASELINE.json:2. ``vs_baseline`` is relative
+to the round-1 pinned self-baseline in BASELINE.md (no reference numbers
+exist on this machine).
+
+detail additionally carries (round-1 verdict items 3 + 4):
+  - per-family f64 rates at production-like shapes: free-gas pointwise,
+    continuum (Kalbach pointwise), chi collapse — so a regression in ANY
+    family is visible round over round, not just two-body;
+  - "composite_moments_per_sec": one number for a nominal per-nuclide
+    library workload (two-body 2048 rows + continuum 2048 rows + free-gas
+    256 rows x 33-group window + chi 512 rows, P5/361g), combined as
+    total-moments / total-time with each family's time taken from its
+    measured rate;
+  - "selfcheck": the ON-CHIP accuracy gate — dd and f32 vs f64 max error
+    at the production shape on the real device; dd above 1e-8 sets
+    ok=false and exits 1 (fails loudly in the round's driver bench).
 
 Timing methodology (see BASELINE.md): ONE device execution of a
 lax.fori_loop whose carry chains a perturbation of the inputs through
@@ -25,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -41,9 +54,12 @@ K = 48
 NG = 361
 ITERS = 20
 
+# nominal per-nuclide workload for the composite metric (rows per family)
+COMPOSITE_ROWS = {"twobody": 2048, "continuum": 2048, "freegas": 256, "chi": 512}
 
-def _rate(fn, e0, eps_scale):
-    """moments/s of fn over ITERS chained iterations in one dispatch."""
+
+def _rate(fn, e0, eps_scale, moments_per_iter, iters=ITERS):
+    """(moments/s, wall_s) of fn over `iters` chained iterations in one dispatch."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -52,9 +68,9 @@ def _rate(fn, e0, eps_scale):
     def run(e_arr):
         def body(i, e_arr):
             out = fn(e_arr)
-            return e_arr * (1.0 + eps_scale * out[0, 0, 0].astype(e_arr.dtype))
+            return e_arr * (1.0 + eps_scale * out.ravel()[0].astype(e_arr.dtype))
 
-        return lax.fori_loop(0, ITERS, body, e_arr)
+        return lax.fori_loop(0, iters, body, e_arr)
 
     out = run(e0)
     jax.block_until_ready(out)  # compile + warm
@@ -62,16 +78,14 @@ def _rate(fn, e0, eps_scale):
     out = run(e0 * jnp.asarray(1.0 + 1e-9, e0.dtype))
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return TILE * (ORDER + 1) * NG * ITERS / dt, dt
+    return moments_per_iter * iters / dt, dt
 
 
-def main() -> None:
-    import jax
+def _twobody_setup():
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
     from ndpp_tpu import groups
-    from ndpp_tpu.ops.twobody import twobody_moments
 
     e, knots, pdf, _, c1, c2, awr = ge._example_batch(1, TILE, k=K, ng=NG)
     bounds = groups.get("uniform-lethargy-361").bounds
@@ -83,7 +97,98 @@ def main() -> None:
         jnp.asarray(np.repeat(c2, TILE)),
         jnp.asarray(np.repeat(awr, TILE)),
     )
-    e0 = jnp.asarray(e[0])
+    return jnp.asarray(e[0]), args
+
+
+def _freegas_rate():
+    """Free-gas pointwise kernel at the production window shape:
+    64 rows x (1 catch + 32)-group window, P5, nq 8/8/8 (freegas_driver)."""
+    import jax.numpy as jnp
+
+    from ndpp_tpu.ops.freegas import freegas_moments_pointwise
+
+    rows = 64
+    bw = jnp.asarray(np.concatenate([[0.0], np.geomspace(1e-3, 200.0, 33)]))
+    e0 = jnp.asarray(np.geomspace(1e-4, 10.0, rows))
+    moments = rows * (ORDER + 1) * (bw.shape[0] - 1)
+    rate, dt = _rate(
+        lambda e: freegas_moments_pointwise(e, 237.98, 0.0253, bw, ORDER, 8, 8, 8),
+        e0,
+        1e-13,
+        moments,
+        iters=4,  # the heavy family: keep the timed dispatch bounded
+    )
+    return rate, moments
+
+
+def _continuum_rate():
+    """Kalbach pointwise kernel at a production-like shape: 256 rows x 64
+    outgoing knots, P5, 361 groups, windowed knot gather (continuum_driver)."""
+    import jax.numpy as jnp
+
+    from ndpp_tpu import groups
+    from ndpp_tpu.ops.continuum import cm_moments_pointwise
+
+    rows, k = 256, 64
+    awr = 89.132
+    e = np.geomspace(4e6, 2e7, rows)
+    emax_r = (e - 2e6) * awr / (awr + 1.0)
+    kn = np.linspace(1e3, emax_r, k, axis=-1)  # (rows, k), ascending
+    pd = kn * np.exp(-kn / (emax_r[:, None] / 4.0))
+    pd /= np.trapezoid(pd, kn, axis=1)[:, None]
+    rr = np.full((rows, k), 0.3)
+    aa = 0.2 + 1.5 * kn / np.maximum(emax_r[:, None], 1.0)
+    bounds = groups.get("uniform-lethargy-361").bounds
+    muk = jnp.asarray(np.array([-1.0, 1.0]))
+    mup = jnp.zeros((rows, k, 2))
+    moments = rows * (ORDER + 1) * (bounds.size - 1)
+    args = (
+        jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr), jnp.asarray(aa),
+        muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds),
+    )
+    rate, dt = _rate(
+        lambda e_arr: cm_moments_pointwise(
+            e_arr, *args, awr, ORDER, 8, 8, "kalbach", "tabular", True, 8, 16
+        ),
+        jnp.asarray(e),
+        1e-13,
+        moments,
+        iters=4,
+    )
+    return rate, moments
+
+
+def _chi_rate():
+    """Tabular chi collapse: 512 rows x 64 spectrum knots -> 361 groups."""
+    import jax.numpy as jnp
+
+    from ndpp_tpu import groups
+    from ndpp_tpu.ops.chi import tabular_group_fractions
+
+    rows, k = 512, 64
+    rng = np.random.default_rng(11)
+    kn = np.sort(rng.uniform(1e2, 2e6, size=(rows, k)), axis=1)
+    pd = rng.uniform(0.2, 1.0, size=(rows, k))
+    pd /= np.sum(0.5 * (pd[:, 1:] + pd[:, :-1]) * np.diff(kn, axis=1), axis=1)[:, None]
+    bounds = groups.get("uniform-lethargy-361").bounds
+    moments = rows * (bounds.size - 1)
+    kn_j, pd_j, b_j = jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(bounds)
+
+    # chain on the pdf rows (e-style carry): scale perturbs normalization only
+    rate, dt = _rate(
+        lambda p: tabular_group_fractions(kn_j, p, b_j),
+        pd_j,
+        1e-13,
+        moments,
+        iters=ITERS,
+    )
+    return rate, moments
+
+
+def main() -> None:
+    import jax
+
+    from ndpp_tpu.ops.twobody import twobody_moments
 
     # Time budget: cold compiles on the remote axon compiler cost 60-100 s
     # per distinct kernel shape (>10 min for the f64 bench shape on a
@@ -99,20 +204,26 @@ def main() -> None:
     except ValueError:
         budget_s = 1500.0
     t_start = time.perf_counter()
+    in_budget = lambda: time.perf_counter() - t_start < budget_s  # noqa: E731
 
+    e0, args = _twobody_setup()
+    tb_moments = TILE * (ORDER + 1) * NG
     f64_rate, f64_dt = _rate(
-        lambda e_arr: twobody_moments(e_arr, *args, ORDER, NQ), e0, 1e-13
+        lambda e_arr: twobody_moments(e_arr, *args, ORDER, NQ), e0, 1e-13, tb_moments
     )
 
+    detail: dict = {}
     dd_rate = f32_rate = None
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and time.perf_counter() - t_start < budget_s:
+    if on_tpu and in_budget():
         from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
 
         dd_rate, _ = _rate(
-            lambda e_arr: twobody_moments_dd(e_arr, *args, ORDER, NQ), e0, 1e-13
+            lambda e_arr: twobody_moments_dd(e_arr, *args, ORDER, NQ), e0, 1e-13, tb_moments
         )
-    if on_tpu and time.perf_counter() - t_start < budget_s:
+    if on_tpu and in_budget():
+        import jax.numpy as jnp
+
         from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
 
         args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
@@ -120,7 +231,41 @@ def main() -> None:
             lambda e_arr: twobody_moments_pallas(e_arr, *args32, ORDER, NQ),
             jnp.asarray(e0, jnp.float32),
             1e-6,
+            tb_moments,
         )
+    if on_tpu and in_budget():
+        from ndpp_tpu import selfcheck
+
+        try:
+            detail["selfcheck"] = selfcheck.run(
+                tile=TILE, order=ORDER, ng=NG, nq=NQ, e0=e0, args=args
+            )
+        except Exception as e:  # never lose the JSON line to the gate itself
+            detail["selfcheck"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    # per-family f64 rates + composite (round-1 verdict item 3)
+    family_rates: dict = {}
+    for name, fn in (("freegas", _freegas_rate), ("continuum", _continuum_rate), ("chi", _chi_rate)):
+        if not in_budget():
+            break
+        try:
+            rate, _m = fn()
+            family_rates[name] = rate
+        except Exception as e:
+            family_rates[name] = None
+            detail[f"{name}_error"] = f"{type(e).__name__}: {e}"
+    detail.update({f"{k}_f64_moments_per_sec": round(v, 1) for k, v in family_rates.items() if v})
+
+    tb_best = max([r for r in (f64_rate, dd_rate) if r]) if (f64_rate or dd_rate) else None
+    if tb_best and all(family_rates.get(k) for k in ("freegas", "continuum", "chi")):
+        # nominal per-nuclide workload: time per family = nominal moments / rate
+        per_row = {"twobody": (ORDER + 1) * NG, "continuum": (ORDER + 1) * NG,
+                   "freegas": (ORDER + 1) * 33, "chi": NG}
+        rates = {"twobody": tb_best, **family_rates}
+        total_m = sum(COMPOSITE_ROWS[f] * per_row[f] for f in COMPOSITE_ROWS)
+        total_t = sum(COMPOSITE_ROWS[f] * per_row[f] / rates[f] for f in COMPOSITE_ROWS)
+        detail["composite_moments_per_sec"] = round(total_m / total_t, 1)
+        detail["composite_workload_rows"] = COMPOSITE_ROWS
 
     # primary: fastest ACCURACY-COMPLIANT path (dd ~1e-11 vs f64; f32 is
     # the ~1e-6 preview path and stays a detail entry)
@@ -129,6 +274,20 @@ def main() -> None:
     )
     vs = primary / BASELINE_MOMENTS_PER_SEC if BASELINE_MOMENTS_PER_SEC else 1.0
 
+    detail.update(
+        {
+            "backend": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "tile": TILE,
+            "order": ORDER,
+            "groups": NG,
+            "iters": ITERS,
+            "path": primary_path,
+            "f64_moments_per_sec": round(f64_rate, 1),
+            "dd_pallas_moments_per_sec": round(dd_rate, 1) if dd_rate else None,
+            "f32_pallas_moments_per_sec": round(f32_rate, 1) if f32_rate else None,
+        }
+    )
     print(
         json.dumps(
             {
@@ -136,21 +295,13 @@ def main() -> None:
                 "value": round(primary, 1),
                 "unit": "moments/s",
                 "vs_baseline": round(vs, 4),
-                "detail": {
-                    "backend": jax.devices()[0].platform,
-                    "device": str(jax.devices()[0]),
-                    "tile": TILE,
-                    "order": ORDER,
-                    "groups": NG,
-                    "iters": ITERS,
-                    "path": primary_path,
-                    "f64_moments_per_sec": round(f64_rate, 1),
-                    "dd_pallas_moments_per_sec": round(dd_rate, 1) if dd_rate else None,
-                    "f32_pallas_moments_per_sec": round(f32_rate, 1) if f32_rate else None,
-                },
+                "detail": detail,
             }
         )
     )
+    sc = detail.get("selfcheck")
+    if sc is not None and not sc.get("ok"):
+        sys.exit(1)  # the accuracy gate fails loudly (after printing the line)
 
 
 if __name__ == "__main__":

@@ -117,6 +117,23 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_selfcheck(args) -> int:
+    from ndpp_tpu import selfcheck
+
+    report = selfcheck.run(tile=args.tile, order=args.order, nq=args.nq)
+    print(json.dumps(report))
+    if report.get("skipped"):
+        print(f"selfcheck SKIPPED: {report['skipped']}", file=sys.stderr)
+        return 0
+    if not report["ok"]:
+        print(
+            f"selfcheck FAILED: dd_max_rel={report['dd_max_rel']:.3e} > 1e-8",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
 def _cmd_groups(args) -> int:
     if args.name:
         g = groups_mod.get(args.name)
@@ -160,6 +177,15 @@ def main(argv: list[str] | None = None) -> int:
     pi = sub.add_parser("info", help="summarize an HDF5 moment library")
     pi.add_argument("library")
     pi.set_defaults(fn=_cmd_info)
+
+    ps = sub.add_parser(
+        "selfcheck",
+        help="on-chip accuracy gate: dd/f32 fast paths vs f64 at the production shape",
+    )
+    ps.add_argument("--tile", type=int, default=2048)
+    ps.add_argument("--order", type=int, default=5)
+    ps.add_argument("--nq", type=int, default=16)
+    ps.set_defaults(fn=_cmd_selfcheck)
 
     pg = sub.add_parser("groups", help="list group structures / dump boundaries")
     pg.add_argument("name", nargs="?")

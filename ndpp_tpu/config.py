@@ -59,12 +59,19 @@ class DeviceConfig:
     mesh: Any = "auto"  # "auto" | [n_nuclide, n_e]
     max_devices: int = 0  # chips used for row-sharded dispatch (0 = all visible)
     profile: bool = False
+    # Free-gas thermal rows per temperature evaluated on-device; denser union
+    # grids are evaluated on a log-subgrid of this size and the (smooth)
+    # correction is interpolated back (freegas_driver; subgrid-vs-full
+    # agreement verified at 1e-8 in test_freegas). 0 disables subgridding.
+    freegas_max_rows: int = 256
 
     def validate(self) -> None:
         if self.precision not in ("f64", "f32", "dd"):
             raise ConfigError(f"device.precision must be f64|f32|dd, got {self.precision!r}")
         if self.e_tile <= 0 or self.quad_points <= 0:
             raise ConfigError("device.e_tile and device.quad_points must be positive")
+        if self.freegas_max_rows < 0:
+            raise ConfigError("device.freegas_max_rows must be >= 0")
 
 
 @dataclass
@@ -145,6 +152,7 @@ def _build(data: dict) -> RunConfig:
         mesh=dev.get("mesh", cfg.device.mesh),
         max_devices=int(dev.get("max_devices", cfg.device.max_devices)),
         profile=bool(dev.get("profile", cfg.device.profile)),
+        freegas_max_rows=int(dev.get("freegas_max_rows", cfg.device.freegas_max_rows)),
     )
     cfg.validate()
     return cfg

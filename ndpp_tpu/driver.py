@@ -351,11 +351,16 @@ def run(cfg: RunConfig) -> RunMetrics:
                         w.write_nuclide(res)
                 metrics.nuclides_done += 1
                 log.info("done %s (NE=%d)", name, res.energy.size)
-            except NdppError as e:
-                # quarantine this nuclide, keep sweeping (SURVEY.md section 5)
-                quarantined.append((name, str(e)))
+            except Exception as e:
+                # quarantine this nuclide, keep sweeping (SURVEY.md section
+                # 5): the sweep is a bag of independent tasks, so ANY
+                # per-nuclide failure — a typed NdppError OR an unexpected
+                # ValueError/IndexError escaping host prep for one
+                # pathological nuclide — must not kill the remaining sweep.
+                reason = str(e) if isinstance(e, NdppError) else f"{type(e).__name__}: {e}"
+                quarantined.append((name, reason))
                 metrics.nuclides_quarantined += 1
-                log.error("quarantined %s: %s", name, e)
+                log.error("quarantined %s: %s", name, reason)
     finally:
         if profile_ctx is not None:
             import jax

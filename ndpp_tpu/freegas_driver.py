@@ -86,7 +86,7 @@ def apply_freegas(
         # evaluated on a bounded log-subgrid and the correction is
         # lin-log-interpolated back onto the full rows. Caps cost AND avoids
         # multi-thousand-row thermal batches (which overwhelmed the worker).
-        max_rows = 256
+        max_rows = cfg.device.freegas_max_rows or n_rows
         if n_rows > max_rows:
             sub_idx = np.unique(
                 np.round(np.linspace(0, n_rows - 1, max_rows)).astype(int)

@@ -138,14 +138,18 @@ class AsciiLibraryWriter:
             w(f"NDPP-TPU ASCII LIBRARY {LIBRARY_FORMAT_VERSION}\n")
             w(f"generator ndpp-tpu {__version__}\n")
             w(f"legendre_order {order}\n")
-            w(f"temperatures {len(temperatures)} " + " ".join(f"{t:.6f}" for t in temperatures) + "\n")
+            w(f"temperatures {len(temperatures)} " + " ".join(f"{t:.17E}" for t in temperatures) + "\n")
             w(f"group_structure {gs.name} {gs.ng}\n")
             self._write_array(gs.bounds)
 
     def _write_array(self, arr: np.ndarray) -> None:
+        # 17 significant digits: a float64 round-trips exactly through the
+        # text form, so HDF5 and ASCII twins compare bit-equal (format 1.1).
+        # Width 26, not 25: sign + 19-char mantissa + E+3-digit exponent is
+        # 25 chars, and a zero-width separator glues tokens together.
         flat = np.asarray(arr).ravel()
         for i in range(0, flat.size, 4):
-            self.fh.write("".join(f"{v:20.12E}" for v in flat[i : i + 4]) + "\n")
+            self.fh.write("".join(f"{v:26.17E}" for v in flat[i : i + 4]) + "\n")
 
     def is_complete(self, name: str) -> bool:
         return False  # ASCII stream is append-only; resume bookkeeping lives in the HDF5 twin
@@ -155,6 +159,8 @@ class AsciiLibraryWriter:
         w(f"nuclide {res.name} zaid {res.zaid} awr {res.awr:.6f} kT_eV {res.kT:.6e}\n")
         w(f"energy {res.energy.size}\n")
         self._write_array(res.energy)
+        w(f"temperatures {res.temperatures.size}\n")
+        self._write_array(res.temperatures)
         nt, ne, lp1, ng = res.scatter.shape
         w(f"scatter {nt} {ne} {lp1} {ng}\n")
         self._write_array(res.scatter)
@@ -193,44 +199,122 @@ def open_writers(cfg, gs: GroupStructure):
 
 
 # --------------------------------------------------------------------------
-# Comparator (SURVEY.md section 3.5: tolerance-aware comparison tool)
+# Readers (ASCII read-back) + format-agnostic comparator
+# (SURVEY.md section 3.5: tolerance-aware comparison tool)
+
+
+def read_ascii(path: str | Path) -> tuple[dict[str, np.ndarray], dict]:
+    """Parse an NDPP-TPU ASCII library (docs/format.md) back into memory.
+
+    Returns (datasets, attrs): ``datasets`` maps HDF5-style paths
+    (``/nuclides/<name>/scatter`` ...) to float64 arrays — the SAME keys the
+    HDF5 walk produces, so the comparator works across formats; ``attrs``
+    carries the scalar header metadata.
+    """
+    datasets: dict[str, np.ndarray] = {}
+    attrs: dict = {}
+    with open(path) as fh:
+        lines = iter(fh.read().splitlines())
+
+    def read_values(n: int) -> np.ndarray:
+        vals: list[str] = []
+        while len(vals) < n:
+            vals.extend(next(lines).split())
+        if len(vals) != n:
+            raise ValueError(f"ASCII library: expected {n} values, got {len(vals)}")
+        return np.asarray(vals, dtype=np.float64)
+
+    header = next(lines)
+    if not header.startswith("NDPP-TPU ASCII LIBRARY"):
+        raise ValueError(f"not an NDPP-TPU ASCII library: {path}")
+    attrs["format_version"] = header.split()[-1]
+    nuclide: str | None = None
+    for line in lines:
+        tok = line.split()
+        if not tok:
+            continue
+        key = tok[0]
+        if key == "generator":
+            attrs["generator"] = " ".join(tok[1:])
+        elif key == "legendre_order":
+            attrs["legendre_order"] = int(tok[1])
+        elif key == "temperatures" and nuclide is None:
+            datasets["/temperatures"] = np.asarray(tok[2:], dtype=np.float64)
+        elif key == "group_structure":
+            attrs["group_structure_name"] = tok[1]
+            ng = int(tok[2])
+            datasets["/group_structure/bounds"] = read_values(ng + 1)
+        elif key == "nuclide":
+            nuclide = tok[1]
+            attrs[f"{nuclide}/zaid"] = int(tok[3])
+            attrs[f"{nuclide}/awr"] = float(tok[5])
+            attrs[f"{nuclide}/kT_eV"] = float(tok[7])
+        elif key == "end_nuclide":
+            nuclide = None
+        elif key == "metrics":
+            attrs["metrics"] = json.loads(line[len("metrics ") :])
+        elif key == "end_library":
+            break
+        else:
+            # generic per-nuclide block: "<name> <d0> [d1 ...]" + values
+            if nuclide is None:
+                raise ValueError(f"ASCII library: unexpected line outside nuclide block: {line!r}")
+            shape = tuple(int(d) for d in tok[1:])
+            arr = read_values(int(np.prod(shape))).reshape(shape)
+            datasets[f"/nuclides/{nuclide}/{key}"] = arr
+    return datasets, attrs
+
+
+def load_datasets(path: str | Path) -> dict[str, np.ndarray]:
+    """Flat {path: float array} view of a library file, either format.
+
+    Dispatches on content (h5py.is_hdf5), not extension. String datasets
+    (config/metrics JSON) are excluded — they are provenance, not data.
+    """
+    path = Path(path)
+    if h5py.is_hdf5(path):
+        out: dict[str, np.ndarray] = {}
+        with h5py.File(path, "r") as f:
+
+            def walk(g, prefix=""):
+                for key in g:
+                    p = f"{prefix}/{key}"
+                    obj = g[key]
+                    if isinstance(obj, h5py.Group):
+                        walk(obj, p)
+                    else:
+                        a = obj[()]
+                        if isinstance(a, bytes) or (hasattr(a, "dtype") and a.dtype.kind in "SU"):
+                            continue
+                        out[p] = np.asarray(a, dtype=np.float64)
+
+            walk(f)
+        return out
+    return read_ascii(path)[0]
 
 
 def compare(path_a: str | Path, path_b: str | Path, rtol: float = 1e-8, atol: float = 0.0) -> dict:
-    """Compare two HDF5 libraries; returns a report dict with per-dataset max errors."""
+    """Compare two libraries (HDF5 or ASCII, any mix); per-dataset max errors."""
     report: dict = {"match": True, "rtol": rtol, "datasets": {}, "missing": []}
-    with h5py.File(path_a, "r") as fa, h5py.File(path_b, "r") as fb:
-
-        def walk(ga, gb, prefix=""):
-            for key in ga:
-                pa = f"{prefix}/{key}"
-                if key not in gb:
-                    report["missing"].append(pa)
-                    report["match"] = False
-                    continue
-                oa, ob = ga[key], gb[key]
-                if isinstance(oa, h5py.Group):
-                    walk(oa, ob, pa)
-                else:
-                    a = oa[()]
-                    b = ob[()]
-                    if isinstance(a, bytes) or (hasattr(a, "dtype") and a.dtype.kind in "SU"):
-                        continue
-                    a = np.asarray(a, dtype=np.float64)
-                    b = np.asarray(b, dtype=np.float64)
-                    if a.shape != b.shape:
-                        report["datasets"][pa] = {"shape_a": list(a.shape), "shape_b": list(b.shape)}
-                        report["match"] = False
-                        continue
-                    denom = np.maximum(np.abs(a), np.abs(b))
-                    err = np.abs(a - b)
-                    rel = np.where(denom > 0, err / np.where(denom > 0, denom, 1.0), 0.0)
-                    max_rel = float(rel.max()) if rel.size else 0.0
-                    max_abs = float(err.max()) if err.size else 0.0
-                    ok = bool(np.all(err <= atol + rtol * denom))
-                    report["datasets"][pa] = {"max_rel": max_rel, "max_abs": max_abs, "ok": ok}
-                    if not ok:
-                        report["match"] = False
-
-        walk(fa, fb)
+    da = load_datasets(path_a)
+    db = load_datasets(path_b)
+    for pa in sorted(set(da) | set(db)):
+        if pa not in db or pa not in da:
+            report["missing"].append(pa + (" (in A only)" if pa in da else " (in B only)"))
+            report["match"] = False
+            continue
+        a, b = da[pa], db[pa]
+        if a.shape != b.shape:
+            report["datasets"][pa] = {"shape_a": list(a.shape), "shape_b": list(b.shape)}
+            report["match"] = False
+            continue
+        denom = np.maximum(np.abs(a), np.abs(b))
+        err = np.abs(a - b)
+        rel = np.where(denom > 0, err / np.where(denom > 0, denom, 1.0), 0.0)
+        max_rel = float(rel.max()) if rel.size else 0.0
+        max_abs = float(err.max()) if err.size else 0.0
+        ok = bool(np.all(err <= atol + rtol * denom))
+        report["datasets"][pa] = {"max_rel": max_rel, "max_abs": max_abs, "ok": ok}
+        if not ok:
+            report["match"] = False
     return report

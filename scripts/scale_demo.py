@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Config-5 scale demonstration (BASELINE.json:11; round-1 verdict item 1).
+
+Builds a ~300-nuclide synthetic library (the 16 named fixtures + N
+parametrized stress nuclides + the bound-thermal tables), then runs the
+FULL production pipeline twice in one process at the north-star shape —
+P5, 361 groups, multi-temperature, S(alpha,beta) assignments on H-1:
+
+  pass 1 (cold): every kernel shape compiles; measures the wall the first
+         user pays on an empty jit cache;
+  pass 2 (warm): same deck into a fresh output with every executable
+         cached — the STEADY-STATE end-to-end throughput, the number the
+         north star is judged on (big-kernel executables do not land in
+         this container's persistent cache, so warm must mean "same
+         process", not "second invocation").
+
+Prints one JSON line per pass plus a summary line; exits nonzero if any
+nuclide quarantines. Usage:
+
+    python scripts/scale_demo.py [--nuclides 300] [--temps 293.6 600.0]
+        [--order 5] [--groups uniform-lethargy-361] [--precision f64]
+        [--workdir /tmp/ndpp_scale] [--cold-only] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def build_library(workdir: Path, n_total: int) -> Path:
+    """16 named fixtures + (n_total - 16) stress nuclides + thermal tables."""
+    from ndpp_tpu.host.ace import synth
+    from ndpp_tpu.host.ace.thermal import write_thermal_ace
+    from ndpp_tpu.host.ace.write import write_ace
+
+    workdir.mkdir(parents=True, exist_ok=True)
+    xsdir = workdir / "xsdir"
+    marker = workdir / f".complete_{n_total}"
+    if xsdir.exists() and marker.exists():
+        print(f"library already built in {workdir}", flush=True)
+        return xsdir
+    t0 = time.perf_counter()
+    lines = []
+    for key in sorted(synth.ALL_FIXTURES):
+        nuc = synth.build(key)
+        p = write_ace(nuc, workdir / f"{key}.ace")
+        lines.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+    n_named = len(lines)
+    for i in range(max(n_total - n_named, 0)):
+        nuc = synth.stress_nuclide(i)
+        p = write_ace(nuc, workdir / f"stress{i:03d}.ace")
+        lines.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+        if (i + 1) % 50 == 0:
+            print(f"  built {i + 1} stress nuclides...", flush=True)
+    for key in sorted(synth.THERMAL_FIXTURES):
+        tab = synth.build_thermal(key)
+        p = write_thermal_ace(tab, workdir / f"{key}.ace")
+        lines.append(f"{tab.name} {tab.awr:.6f} {Path(p).name} 0 1 1 0")
+    xsdir.write_text("directory\n" + "\n".join(lines) + "\n")
+    marker.touch()
+    print(
+        f"built {len(lines)}-entry library in {time.perf_counter() - t0:.1f} s -> {xsdir}",
+        flush=True,
+    )
+    return xsdir
+
+
+def make_cfg(args, xsdir: Path, out_path: Path):
+    from ndpp_tpu import config as config_mod
+
+    cfg = config_mod.RunConfig(
+        nuclides=[],  # all non-thermal entries in the index
+        library=str(xsdir),
+        groups=args.groups,
+        legendre_order=args.order,
+        temperatures=list(args.temps),
+        sab={"1001.80c": ["lwtr.20t"]},
+    )
+    cfg.output.path = str(out_path)
+    cfg.device.precision = args.precision
+    cfg.resume = args.resume
+    cfg.validate()
+    return cfg
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nuclides", type=int, default=300)
+    ap.add_argument("--temps", type=float, nargs="+", default=[293.6, 600.0])
+    ap.add_argument("--order", type=int, default=5)
+    ap.add_argument("--groups", default="uniform-lethargy-361")
+    ap.add_argument("--precision", default="f64", choices=["f64", "dd", "f32"])
+    ap.add_argument("--workdir", default="/tmp/ndpp_scale")
+    ap.add_argument("--cold-only", action="store_true")
+    ap.add_argument("--resume", action="store_true", help="resume the cold pass")
+    args = ap.parse_args()
+
+    from ndpp_tpu import driver
+    from ndpp_tpu.utils import log as log_mod
+
+    log_mod.setup(level=20)
+    workdir = Path(args.workdir)
+    xsdir = build_library(workdir, args.nuclides)
+
+    results = {}
+    passes = ["cold"] if args.cold_only else ["cold", "warm"]
+    rc = 0
+    for which in passes:
+        cfg = make_cfg(args, xsdir, workdir / f"library_{which}.h5")
+        if which == "warm":
+            cfg.resume = False
+        t0 = time.perf_counter()
+        m = driver.run(cfg)
+        wall = time.perf_counter() - t0
+        row = {
+            "pass": which,
+            "wall_s": round(wall, 1),
+            "nuclides_done": m.nuclides_done,
+            "quarantined": m.nuclides_quarantined,
+            "moments": m.moments_computed,
+            "moments_per_sec": round(m.moments_computed / max(wall, 1e-9), 1),
+            "padding_efficiency": m.padding_efficiency,
+            "phase_seconds": {k: round(v, 1) for k, v in m.phase_seconds.items()},
+        }
+        results[which] = row
+        print("SCALE " + json.dumps(row), flush=True)
+        if m.nuclides_quarantined:
+            rc = 3
+    print("SCALE_SUMMARY " + json.dumps(results), flush=True)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

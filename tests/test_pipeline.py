@@ -103,6 +103,39 @@ def test_compare_self_and_detect_diff(small_library, tmp_path):
     assert not report["match"]
 
 
+def test_ascii_roundtrip_matches_hdf5(small_library, tmp_path):
+    """The ASCII twin is a lossless mirror: read_ascii parses it back and the
+    comparator matches it against the HDF5 twin bit-exactly (format 1.1);
+    perturbing the HDF5 copy is detected across formats (round-1 verdict,
+    Weak #7)."""
+    from ndpp_tpu.io.library import read_ascii
+
+    cfg = _cfg(small_library, tmp_path)
+    cfg.output.format = "both"
+    driver.run(cfg)
+    txt = tmp_path / "lib.txt"
+
+    datasets, attrs = read_ascii(txt)
+    assert attrs["legendre_order"] == 2
+    assert "/nuclides/1001.80c/scatter" in datasets
+    assert datasets["/nuclides/1001.80c/scatter"].shape == (1, 60, 3, 47)
+
+    # cross-format comparison, bit-exact
+    report = compare(cfg.output.path, txt, rtol=0.0, atol=0.0)
+    assert report["match"], {k: v for k, v in report["datasets"].items() if not v.get("ok")} or report["missing"]
+
+    # perturbation in one format is detected against the other
+    import shutil
+
+    other = tmp_path / "perturbed_x.h5"
+    shutil.copy(cfg.output.path, other)
+    with h5py.File(other, "a") as f:
+        d = f["nuclides/1001.80c/scatter"]
+        d[0, 0, 0, :] = d[0, 0, 0, :] * (1 + 1e-6)
+    report = compare(other, txt, rtol=1e-8)
+    assert not report["match"]
+
+
 def test_resume_skips_complete(small_library, tmp_path):
     cfg = _cfg(small_library, tmp_path)
     driver.run(cfg)
@@ -118,6 +151,41 @@ def test_quarantine_malformed_nuclide(small_library, tmp_path):
     assert metrics.nuclides_quarantined == 1  # broken.ace is truncated
     with h5py.File(cfg.output.path) as f:
         assert "40090.80k" not in f["nuclides"]
+
+
+def test_prep_fault_quarantined_not_fatal(small_library, tmp_path):
+    """A nuclide that PARSES clean but faults in host prep (here: a
+    degenerate 1-point histogram angular table -> IndexError in
+    prepare_twobody) must be quarantined like any other per-nuclide
+    failure — an untyped ValueError/IndexError escaping prep must not kill
+    the rest of the sweep (round-1 verdict, Weak #4)."""
+    from ndpp_tpu.host.ace.parse import read_ace
+    from ndpp_tpu.host.ace.records import AngularTable
+
+    lib = tmp_path / "preplib"
+    lib.mkdir()
+    entries = []
+    bad = synth.h1_like(n_energy=40)
+    bad.name, bad.zaid = "1099.80c", 1099
+    bad.elastic_angular.tables[0] = AngularTable(
+        interp=1, mu=np.array([0.0]), pdf=np.array([1.0]), cdf=np.array([1.0])
+    )
+    bad.elastic_angular.encodings[0] = "tabular"
+    p = write_ace(bad, lib / "bad.ace")
+    assert read_ace(p).name == "1099.80c"  # the fixture parses clean
+    entries.append(f"{bad.name} {bad.awr:.6f} {p.name} 0 1 1 0")
+    for key, n in [("h1", 60), ("o16", 50)]:
+        nuc = synth.ALL_FIXTURES[key](n)
+        p = write_ace(nuc, lib / f"{key}.ace")
+        entries.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+    (lib / "xsdir").write_text("directory\n" + "\n".join(entries) + "\n")
+
+    cfg = _cfg(lib, tmp_path, nuclides=["1099.80c", "1001.80c", "8016.80c"])
+    metrics = driver.run(cfg)
+    assert metrics.nuclides_quarantined == 1
+    assert metrics.nuclides_done == 2  # the fault did not kill the sweep
+    with h5py.File(cfg.output.path) as f:
+        assert sorted(f["nuclides"]) == ["1001.80c", "8016.80c"]
 
 
 def test_missing_nuclide_quarantined(small_library, tmp_path):
