@@ -59,11 +59,15 @@ class DeviceConfig:
     mesh: Any = "auto"  # "auto" | [n_nuclide, n_e]
     max_devices: int = 0  # chips used for row-sharded dispatch (0 = all visible)
     profile: bool = False
-    # Free-gas thermal rows per temperature evaluated on-device; denser union
-    # grids are evaluated on a log-subgrid of this size and the (smooth)
-    # correction is interpolated back (freegas_driver; subgrid-vs-full
-    # agreement verified at 1e-8 in test_freegas). 0 disables subgridding.
-    freegas_max_rows: int = 256
+    # Free-gas thermal rows per temperature evaluated on-device. 0 (default)
+    # evaluates EVERY thermal union row exactly — the only setting that
+    # meets the 1e-8 bar. A positive value evaluates a log-subgrid of that
+    # size and lin-log-interpolates the correction back: a SPEED knob whose
+    # measured error envelope is ~1e-2 at 256 rows (test_freegas: the
+    # per-group moment curves carry group-boundary-crossing structure on
+    # the scale of a group width, which no coarse subgrid can interpolate
+    # to 1e-8 — round-2 finding, reversing the round-1 default).
+    freegas_max_rows: int = 0
 
     def validate(self) -> None:
         if self.precision not in ("f64", "f32", "dd"):

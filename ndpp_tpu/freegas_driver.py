@@ -80,12 +80,14 @@ def apply_freegas(
         rows = slice(n_lo, n_rows)
         n_rows = n_rows - n_lo
 
-        # Both the free-gas kernel shape and the 0K elastic kernel shape are
-        # SMOOTH in E (resonance structure lives only in the sigma weights,
-        # which multiply outside this correction), so dense union grids are
-        # evaluated on a bounded log-subgrid and the correction is
-        # lin-log-interpolated back onto the full rows. Caps cost AND avoids
-        # multi-thousand-row thermal batches (which overwhelmed the worker).
+        # Default (freegas_max_rows=0): evaluate EVERY thermal union row
+        # exactly. The opt-in subgrid (a positive max_rows) evaluates a
+        # bounded log-subgrid and lin-log-interpolates the correction back —
+        # a speed knob with a measured ~1e-2 error envelope at 256 rows
+        # (test_freegas): per-group moment curves have group-boundary-
+        # crossing structure on the scale of a group width (a kink from the
+        # 0K term at every E = E_b, a kT-smeared ramp from the thermal
+        # term), which a coarse subgrid cannot interpolate to the 1e-8 bar.
         max_rows = cfg.device.freegas_max_rows or n_rows
         if n_rows > max_rows:
             sub_idx = np.unique(

@@ -323,7 +323,10 @@ def freegas_sigma_eff_ratio(e, awr, kt, nq_r: int = 8, nq_c: int = 8):
 # {y/gamma, (v -+ y)/(2 gamma)} do not depend on the group structure.
 
 
-@partial(jax.jit, static_argnames=("order", "nq_g", "nq_r", "nq_c", "chunk"))
+@partial(
+    jax.jit,
+    static_argnames=("order", "nq_g", "nq_r", "nq_c", "chunk", "nfill_r", "nfill_c", "ngeo_c"),
+)
 def freegas_moments_pointwise(
     e,
     awr,
@@ -334,6 +337,9 @@ def freegas_moments_pointwise(
     nq_r: int = 8,
     nq_c: int = 8,
     chunk: int = 8,
+    nfill_r: int = 7,
+    nfill_c: int = 7,
+    ngeo_c: int = 8,
 ):
     """Free-gas transfer moments via the pointwise-E' path: (T, L+1, G).
 
@@ -442,7 +448,7 @@ def freegas_moments_pointwise(
         # uniform fill edges: the Maxwellian ladder grades for the Gaussian
         # only; P_l(c_a)P_l(c_b) oscillates across the whole domain and
         # needs panels bounded everywhere (l >= 1 convergence)
-        fill_fr = jnp.asarray(np.linspace(0.0, 1.0, 9)[1:-1], dtype=dtype)
+        fill_fr = jnp.asarray(np.linspace(0.0, 1.0, nfill_r + 2)[1:-1], dtype=dtype)
         span_r = (hi_r_dom - lo_r_dom)[:, None, None]
         fill_r = lo_r_dom[:, None, None] + span_r * fill_fr[None, None, :]
         fill_r = jnp.broadcast_to(fill_r, (tt, ny, fill_fr.shape[0]))
@@ -480,7 +486,14 @@ def freegas_moments_pointwise(
             # fill above) + geometric grading at the lo end, where c_a/c_b
             # vary like 1/c when u ~ y ~ v (lo_c << hi_c)
             fill_cf = jnp.asarray(
-                np.unique(np.concatenate([np.linspace(0.0, 1.0, 9)[1:-1], 4.0 ** -np.arange(8, 0, -1.0)])),
+                np.unique(
+                    np.concatenate(
+                        [
+                            np.linspace(0.0, 1.0, nfill_c + 2)[1:-1],
+                            4.0 ** -np.arange(ngeo_c, 0, -1.0),
+                        ]
+                    )
+                ),
                 dtype=dtype,
             )
             g_f = lo_c[..., None] + (hi_c - lo_c)[..., None] * fill_cf

