@@ -20,7 +20,7 @@ detail additionally carries (round-1 verdict items 3 + 4):
     family is visible round over round, not just two-body;
   - "composite_moments_per_sec": one number for a nominal per-nuclide
     library workload (two-body 2048 rows + continuum 2048 rows + free-gas
-    256 rows x 33-group window + chi 512 rows, P5/361g), combined as
+    256 rows x 257-group window + chi 512 rows, P5/361g), combined as
     total-moments / total-time with each family's time taken from its
     measured rate;
   - "selfcheck": the ON-CHIP accuracy gate — dd and f32 vs f64 max error
@@ -101,18 +101,20 @@ def _twobody_setup():
 
 
 def _freegas_rate():
-    """Free-gas pointwise kernel at the production window shape:
-    64 rows x (1 catch + 32)-group window, P5, nq 8/8/8 (freegas_driver)."""
+    """Free-gas panel-split kernel at the production window shape:
+    64 rows x (1 catch + 256)-group window, P5, nq 10/8/6 (freegas_driver).
+    Round-1 baseline on this shape (pointwise kernel, 16-row tiles forced
+    by its HBM footprint): 4.05e3 moments/s."""
     import jax.numpy as jnp
 
-    from ndpp_tpu.ops.freegas import freegas_moments_pointwise
+    from ndpp_tpu.ops.freegas import freegas_moments_panelsplit
 
     rows = 64
-    bw = jnp.asarray(np.concatenate([[0.0], np.geomspace(1e-3, 200.0, 33)]))
+    bw = jnp.asarray(np.concatenate([[0.0], np.geomspace(1e-3, 200.0, 257)]))
     e0 = jnp.asarray(np.geomspace(1e-4, 10.0, rows))
     moments = rows * (ORDER + 1) * (bw.shape[0] - 1)
     rate, dt = _rate(
-        lambda e: freegas_moments_pointwise(e, 237.98, 0.0253, bw, ORDER, 8, 8, 8),
+        lambda e: freegas_moments_panelsplit(e, 237.98, 0.0253, bw, ORDER, 10, 8, 6),
         e0,
         1e-13,
         moments,
@@ -260,7 +262,7 @@ def main() -> None:
     if tb_best and all(family_rates.get(k) for k in ("freegas", "continuum", "chi")):
         # nominal per-nuclide workload: time per family = nominal moments / rate
         per_row = {"twobody": (ORDER + 1) * NG, "continuum": (ORDER + 1) * NG,
-                   "freegas": (ORDER + 1) * 33, "chi": NG}
+                   "freegas": (ORDER + 1) * 257, "chi": NG}
         rates = {"twobody": tb_best, **family_rates}
         total_m = sum(COMPOSITE_ROWS[f] * per_row[f] for f in COMPOSITE_ROWS)
         total_t = sum(COMPOSITE_ROWS[f] * per_row[f] / rates[f] for f in COMPOSITE_ROWS)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ndpp_tpu.config import BOLTZMANN_EV_PER_K
-from ndpp_tpu.ops.freegas import freegas_moments_pointwise
+from ndpp_tpu.ops.freegas import freegas_moments_panelsplit
 from ndpp_tpu.utils import log as log_mod
 
 
@@ -108,24 +108,31 @@ def apply_freegas(
         w = min(unionize.bucket_pow2(w), gs.ng)  # pow2 window buckets: minimize distinct kernel shapes
         from ndpp_tpu.parallel import rows as rows_mod
 
-        # modest thermal tiles: the kernel's working set scales with
-        # rows x window groups (measured: 64 rows x 361 groups x P5 wants
-        # ~20 GB HBM at compile — over the v5e's 16), so the row cap
-        # shrinks as the window widens; e_tile halving (OOM retry) shrinks
-        # it further
         ns = e_sub.size
-        cap = min(64, max(8, 4096 // max(w, 1)))
+        # Row cap: the scan-ified panel-split kernel's working set is
+        # ~(rows x chunk*nq_g x nq_r x ~250) per v_r panel (buffers reused
+        # across the scan), nearly window-independent; 64-row tiles compile
+        # and run at ~the same per-row cost as 16-row tiles at the
+        # 257-group window (measured 2026-08-20; the round-1 kernel's
+        # unrolled form wanted 19.9 GB HBM for the same shape). e_tile
+        # halving (OOM retry) still shrinks the tile via tile_for.
+        cap = 64
         tile = rows_mod.tile_for(ns, cap, cfg.device.e_tile)
         ffg = np.zeros((ns, order + 1, gs.ng))
         pending = []
-        # Single production path: the pointwise-E' kernel. The grouped
-        # kernel's Laurent closed form cancels catastrophically when a
-        # group window reaches y' << V_cm (measured 0.45 rel at A=1,
+        # Single production path: the panel-split pointwise-E' kernel.
+        # The grouped kernel's Laurent closed form cancels catastrophically
+        # when a group window reaches y' << V_cm (measured 0.45 rel at A=1,
         # E=kT on thermal-fine windows) and its order>=4 program faults
-        # the axon TPU worker; the pointwise kernel with exact v_r kinks
-        # and graded c-fill holds ~1e-8 (8/8/8) to ~1e-11 (12/16/16)
+        # the axon TPU worker. The pointwise formulation with exact v_r
+        # kinks and graded c-fill holds ~1e-8 (8/8/8) to ~1e-11 (12/16/16)
         # against the refinement-verified oracle.freegas_exact references
-        # in every probed regime, and its cost is window-size independent.
+        # in every probed regime; the panel-split variant keeps the same
+        # inner quadrature but pays the outgoing-y axis ONLY at the
+        # integrand's own panel structure (group splits via the GL-node
+        # Lagrange interpolant), making per-row cost independent of the
+        # window size — measured 6.7x over the round-1 scheme at the
+        # production 257-group window, equal accuracy.
         #
         # The kernel normalizes over ITS OWN window, so it always gets a
         # COVERING one: an extra leading [0, bounds_0) catch group holds
@@ -144,8 +151,8 @@ def apply_freegas(
 
         for start, length in unionize.tile_indices(ns, tile):
             e_t = unionize.pad_to(e_sub[start : start + length], tile)
-            part = freegas_moments_pointwise(
-                rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order, nq_g=8, nq_r=8, nq_c=8
+            part = freegas_moments_panelsplit(
+                rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order, nq_g=10, nq_r=8, nq_c=6
             )
             pending.append((start, length, part))
             if len(pending) >= 2:  # bound the queued device work

@@ -416,140 +416,11 @@ def freegas_moments_pointwise(
         ph = jax.lax.dynamic_slice_in_dim(phalf_p, c0, chunk, axis=1)
         y = (pm[:, :, None] + ph[:, :, None] * xg[None, None, :]).reshape(tt, chunk * nq_g)  # (T, NY)
         wy = (ph[:, :, None] * wg[None, None, :]).reshape(tt, chunk * nq_g) * 2.0 * y  # dE' = 2y dy
-        ny = chunk * nq_g
 
-        # per-(row, y) outer v_r edges: Maxwellian ladder + 3 closed-form kinks.
-        # |v - y| covers BOTH directions: for upscatter rows (y > v) the
-        # reachable-v_r edge sits at (y - v)/(2 gamma) — without the abs the
-        # kink clipped to the domain floor and GL panels straddled the hard
-        # onset (the A~1, E <~ kT accuracy loss of round 1).
-        base_e = (v[:, None] + inv_beta[:, None] * ladder[None, :])[:, None, :]  # (T,1,11)
-        base_e = jnp.broadcast_to(base_e, (tt, ny, ladder.shape[0]))
-        g2 = (2.0 * gamma)[:, None]
-        kinks = jnp.stack(
-            [y / gamma[:, None], jnp.abs(v[:, None] - y) / g2, (v[:, None] + y) / g2], axis=-1
-        )  # (T, NY, 3)
-
-        # C-ladder layout transitions: vstar(vr) crossing the C-domain ends
-        # |y - u|, y + u, |v - u|, v + u — quadratic roots
-        #   (A/(A+1)) vr^2 -+ 2 z gamma vr + z^2 - v^2/(A+1) = 0, z in {y, v}
-        a2 = (awr / (awr + 1.0))[:, None]  # (T,1)
-        vsc = (v**2 / (awr + 1.0))[:, None]
-        root_parts = []
-        for z in (y, jnp.broadcast_to(v[:, None], y.shape)):
-            for sgn in (-1.0, 1.0):
-                bq = sgn * 2.0 * z * gamma[:, None]
-                disc = bq**2 - 4.0 * a2 * (z**2 - vsc)
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                root_parts.append((-bq + sq) / (2.0 * a2))
-                root_parts.append((-bq - sq) / (2.0 * a2))
-        vkinks = jnp.stack(root_parts, axis=-1)  # (T, NY, 8)
-
-        # uniform fill edges: the Maxwellian ladder grades for the Gaussian
-        # only; P_l(c_a)P_l(c_b) oscillates across the whole domain and
-        # needs panels bounded everywhere (l >= 1 convergence)
-        fill_fr = jnp.asarray(np.linspace(0.0, 1.0, nfill_r + 2)[1:-1], dtype=dtype)
-        span_r = (hi_r_dom - lo_r_dom)[:, None, None]
-        fill_r = lo_r_dom[:, None, None] + span_r * fill_fr[None, None, :]
-        fill_r = jnp.broadcast_to(fill_r, (tt, ny, fill_fr.shape[0]))
-        edges_r = jnp.sort(
-            jnp.clip(
-                jnp.concatenate([base_e, kinks, vkinks, fill_r], axis=-1),
-                lo_r_dom[:, None, None],
-                hi_r_dom[:, None, None],
-            ),
-            axis=-1,
-        )  # (T, NY, 29)
-        nrp = edges_r.shape[-1] - 1
-
-        dsig = [jnp.zeros((tt, ny), dtype=dtype) for _ in range(order + 1)]
-        for rp in range(nrp):
-            rmid = 0.5 * (edges_r[..., rp + 1] + edges_r[..., rp])  # (T, NY)
-            rhalf = 0.5 * (edges_r[..., rp + 1] - edges_r[..., rp])
-            vr = rmid[..., None] + rhalf[..., None] * xr  # (T, NY, QR)
-            w_r = rhalf[..., None] * wr
-            u = gamma[:, None, None] * vr
-            lo_c = jnp.maximum(jnp.abs(y[..., None] - u), jnp.abs(v[:, None, None] - u))
-            hi_c = jnp.minimum(y[..., None] + u, v[:, None, None] + u)
-            ok_rc = hi_c > lo_c
-            # graded C nodes inside [lo_c, hi_c]
-            vstar2 = (v**2 / (awr + 1.0))[:, None, None] - (awr / (awr + 1.0) ** 2)[
-                :, None, None
-            ] * vr**2
-            vstar = jnp.sqrt(jnp.maximum(vstar2, 0.0))
-            anchor = jnp.clip(vstar, lo_c, hi_c)
-            w_quad = (1.0 / (beta * jnp.sqrt(a_ratio)))[:, None, None]
-            w_lin = 1.0 / ((beta**2 * 2.0 * a_ratio)[:, None, None] * jnp.maximum(anchor, 1e-30))
-            g_q = jnp.clip(anchor[..., None] + w_quad[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
-            g_l = jnp.clip(anchor[..., None] + w_lin[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
-            # fill for the oscillatory P_l factors (same reason as the v_r
-            # fill above) + geometric grading at the lo end, where c_a/c_b
-            # vary like 1/c when u ~ y ~ v (lo_c << hi_c)
-            fill_cf = jnp.asarray(
-                np.unique(
-                    np.concatenate(
-                        [
-                            np.linspace(0.0, 1.0, nfill_c + 2)[1:-1],
-                            4.0 ** -np.arange(ngeo_c, 0, -1.0),
-                        ]
-                    )
-                ),
-                dtype=dtype,
-            )
-            g_f = lo_c[..., None] + (hi_c - lo_c)[..., None] * fill_cf
-            edges_c = jnp.sort(
-                jnp.concatenate([lo_c[..., None], g_q, g_l, g_f, hi_c[..., None]], axis=-1), axis=-1
-            )  # (T, NY, QR, EC)
-            cmid = 0.5 * (edges_c[..., 1:] + edges_c[..., :-1])
-            chalf = 0.5 * (edges_c[..., 1:] - edges_c[..., :-1])
-            cc = (cmid[..., None] + chalf[..., None] * xc).reshape(tt, ny, nq_r, -1)  # (T,NY,QR,C)
-            w_c = (chalf[..., None] * wc).reshape(tt, ny, nq_r, -1)
-
-            v2_ = (v**2)[:, None, None, None]
-            u4 = u[..., None]
-            vsq = (
-                -v2_ / awr[:, None, None, None]
-                + (vr**2)[..., None] / (awr + 1.0)[:, None, None, None]
-                + cc**2 * a_ratio[:, None, None, None]
-            )
-            # clamp the exponent at 0: vsq >= 0 for every VALID cell, but
-            # masked/padded cells can see vsq ~ -v^2/A, and exp overflows the
-            # f32-range emulated f64 on TPU (inf * 0-mask = NaN)
-            wgt = (
-                (vr**2)[..., None]
-                * cc
-                * jnp.exp(jnp.minimum(-(beta**2)[:, None, None, None] * vsq, 0.0))
-                * w_c
-                * w_r[..., None]
-                * ok_rc[..., None]
-            )
-            # guard the PRODUCTS (individual factors can underflow to 0
-            # jointly on masked/padded cells, giving 0/0 NaN that would
-            # poison the 0-weight multiply)
-            dens = wgt / jnp.maximum(4.0 * cc * u4, 1e-30)  # x E'-density 1/(4 C u)
-            c_a = jnp.clip(
-                (v2_ + cc**2 - u4**2) / jnp.maximum(2.0 * v[:, None, None, None] * cc, 1e-30),
-                -1.0,
-                1.0,
-            )
-            c_b = jnp.clip(
-                ((y**2)[..., None, None] + cc**2 - u4**2)
-                / jnp.maximum(2.0 * y[..., None, None] * cc, 1e-30),
-                -1.0,
-                1.0,
-            )
-            pa_prev = jnp.ones_like(c_a)
-            pb_prev = jnp.ones_like(c_b)
-            dsig[0] = dsig[0] + jnp.sum(dens, axis=(2, 3))
-            if order >= 1:
-                pa_cur, pb_cur = c_a, c_b
-                dsig[1] = dsig[1] + jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3))
-                for l in range(1, order):
-                    pa_next = ((2 * l + 1) * c_a * pa_cur - l * pa_prev) / (l + 1)
-                    pb_next = ((2 * l + 1) * c_b * pb_cur - l * pb_prev) / (l + 1)
-                    pa_prev, pa_cur = pa_cur, pa_next
-                    pb_prev, pb_cur = pb_cur, pb_next
-                    dsig[l + 1] = dsig[l + 1] + jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3))
+        dsig = _pointwise_dens(
+            y, v, awr, gamma, beta, inv_beta, a_ratio, lo_r_dom, hi_r_dom,
+            ladder, offs_c, xr, wr, xc, wc, order, nfill_r, nfill_c, ngeo_c,
+        )
 
         # panel integrals for this chunk: sum GL points per panel
         vals = jnp.stack(dsig, axis=-1) * wy[..., None]  # (T, NY, L+1)
@@ -575,3 +446,327 @@ def freegas_moments_pointwise(
 
     out = jax.vmap(row_scatter)(panel_vals, pgp)  # (T, G, L+1)
     return jnp.swapaxes(out, 1, 2) / n_full[:, None, None]
+
+
+def _lagrange_antiderivative_coeffs(nq: int) -> np.ndarray:
+    """(NQ, NQ+1) monomial coefficients of A_q(t) = int_{-1}^t L_q on GL nodes.
+
+    L_q is the Lagrange basis on the nq-point Gauss-Legendre nodes; by the
+    definition of GL weights, A_q(1) == w_q exactly, so partial-panel
+    integrals built from these telescope consistently with GL panel sums.
+    """
+    x, w = np.polynomial.legendre.leggauss(nq)
+    out = np.zeros((nq, nq + 1))
+    for q in range(nq):
+        roots = np.delete(x, q)
+        poly = np.polynomial.polynomial.Polynomial.fromroots(roots)
+        poly = poly / poly(x[q])
+        integ = poly.integ(lbnd=-1.0)
+        out[q, : integ.coef.size] = integ.coef
+    assert np.allclose(out @ np.power(1.0, np.arange(nq + 1)), w, atol=1e-13)
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("order", "nq_g", "nq_r", "nq_c", "chunk", "nfill_r", "nfill_c", "ngeo_c", "nfill_y"),
+)
+def freegas_moments_panelsplit(
+    e,
+    awr,
+    kt,
+    bounds,
+    order: int,
+    nq_g: int = 10,
+    nq_r: int = 8,
+    nq_c: int = 8,
+    chunk: int = 8,
+    nfill_r: int = 7,
+    nfill_c: int = 7,
+    ngeo_c: int = 8,
+    nfill_y: int = 8,
+):
+    """Pointwise free-gas moments with G-INDEPENDENT evaluation cost: (T, L+1, G).
+
+    Same physics and inner (v_r, V_cm) quadrature as
+    freegas_moments_pointwise, but the outgoing-y axis is panelized ONLY at
+    the integrand's own structure — the cusps y = v and y = sqrt(alpha) v,
+    graded kT-width ladders around them, uniform fill, and the window ends
+    — NOT at group boundaries, across which dF_l/dE' is smooth. Panel GL
+    sums give totals; each group boundary's partial integral inside its
+    panel comes from the GL-node Lagrange interpolant, whose full-panel
+    integral IS the GL sum (GL weights are the integrals of the Lagrange
+    basis), so cumulative sums telescope exactly and the row
+    self-normalization stays exact. Cost per row ~ (31 + nfill_y) panels x
+    nq_g inner evaluations regardless of G; the round-1 scheme paid
+    (G + 31) x nq_g — ~6x more at the production 361-group windows.
+
+    bounds: FINITE covering window, ascending (same contract as
+    freegas_moments_pointwise).
+    """
+    dtype = e.dtype
+    ng = bounds.shape[0] - 1
+    v = jnp.sqrt(e)  # (T,)
+    awr = jnp.broadcast_to(jnp.asarray(awr, dtype=dtype), e.shape)
+    kt = jnp.broadcast_to(jnp.asarray(kt, dtype=dtype), e.shape)
+    gamma = awr / (awr + 1.0)
+    beta = jnp.sqrt(awr / kt)
+    inv_beta = 1.0 / beta
+    a_ratio = (awr + 1.0) / awr
+    tt = e.shape[0]
+
+    sb = jnp.sqrt(jnp.maximum(bounds, 0.0))  # (G+1,) finite ascending
+
+    # --- y panel edges: cusps + graded ladders + uniform fill + window ends
+    delta = 2.0 * gamma * inv_beta
+    lad = jnp.asarray(
+        np.array([-32.0, -16.0, -8.0, -4.0, -2.0, -1.0, -0.5, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+        dtype=dtype,
+    )
+    y_alpha = v * jnp.abs(awr - 1.0) / (awr + 1.0)
+    fill_y = jnp.asarray(np.linspace(0.0, 1.0, nfill_y + 2), dtype=dtype)
+    fills = sb[0] + (sb[-1] - sb[0]) * fill_y  # includes both window ends
+    extra = jnp.concatenate(
+        [
+            v[:, None] + delta[:, None] * lad[None, :],
+            y_alpha[:, None] + delta[:, None] * lad[None, :],
+            jnp.stack([v, y_alpha], axis=1),
+        ],
+        axis=1,
+    )
+    extra = jnp.clip(extra, sb[0], sb[-1])
+    y_edges = jnp.sort(
+        jnp.concatenate([jnp.broadcast_to(fills, (tt, fills.shape[0])), extra], axis=1), axis=1
+    )  # (T, NP+1)
+    npan = y_edges.shape[1] - 1
+    xg, wg = gl_nodes_weights(nq_g)
+    xg = jnp.asarray(xg, dtype=dtype)
+    wg = jnp.asarray(wg, dtype=dtype)
+    pmid = 0.5 * (y_edges[:, 1:] + y_edges[:, :-1])  # (T, NP)
+    phalf = 0.5 * (y_edges[:, 1:] - y_edges[:, :-1])
+
+    xr, wr = gl_nodes_weights(nq_r)
+    xr = jnp.asarray(xr, dtype=dtype)
+    wr = jnp.asarray(wr, dtype=dtype)
+    xc, wc = gl_nodes_weights(nq_c)
+    xc = jnp.asarray(xc, dtype=dtype)
+    wc = jnp.asarray(wc, dtype=dtype)
+    lo_r_dom = jnp.maximum(v - 8.0 * inv_beta, 0.0)
+    hi_r_dom = v + 8.0 * inv_beta
+    ladder = jnp.asarray(_VR_OFFSETS, dtype=dtype)
+    offs_c = jnp.asarray(_VCM_OFFSETS, dtype=dtype)
+
+    # --- evaluate g(y) = dF_l/dE' * 2y at every panel GL node, chunked
+    n_chunks = -(-npan // chunk)
+    pad_p = n_chunks * chunk
+    pmid_p = jnp.pad(pmid, ((0, 0), (0, pad_p - npan)))
+    phalf_p = jnp.pad(phalf, ((0, 0), (0, pad_p - npan)))
+    chunk_ids = jnp.arange(n_chunks) * chunk
+
+    def body(carry, c0):
+        gvals = carry  # (T, P_pad, NQG, L+1) node values of g
+        pm = jax.lax.dynamic_slice_in_dim(pmid_p, c0, chunk, axis=1)
+        ph = jax.lax.dynamic_slice_in_dim(phalf_p, c0, chunk, axis=1)
+        y = (pm[:, :, None] + ph[:, :, None] * xg[None, None, :]).reshape(tt, chunk * nq_g)
+        dsig = _pointwise_dens(
+            y, v, awr, gamma, beta, inv_beta, a_ratio, lo_r_dom, hi_r_dom,
+            ladder, offs_c, xr, wr, xc, wc, order, nfill_r, nfill_c, ngeo_c,
+        )
+        vals = jnp.stack(dsig, axis=-1) * (2.0 * y)[..., None]  # g(y) = dens * dE'/dy
+        vals = vals.reshape(tt, chunk, nq_g, order + 1)
+        gvals = jax.lax.dynamic_update_slice(gvals, vals, (0, c0, 0, 0))
+        return gvals, None
+
+    init = jnp.zeros((tt, pad_p, nq_g, order + 1), dtype=dtype) + (0.0 * e)[:, None, None, None]
+    gvals, _ = jax.lax.scan(body, init, chunk_ids)
+
+    # --- panel totals + exclusive prefix sums along panels
+    totals = phalf_p[..., None] * jnp.einsum("q,tpql->tpl", wg, gvals)  # (T, P_pad, L+1)
+    prefix = jnp.cumsum(totals, axis=1) - totals  # exclusive
+
+    # --- cumulative integral C_l(sb_g) at every group boundary
+    # panel of each boundary: # of left edges <= b, minus 1 (no gather)
+    b = sb[None, :, None]  # (1, G+1, 1)
+    le = y_edges[:, None, :-1]  # (T, 1, P)
+    pidx_onehot_src = (le <= b).astype(dtype)  # (T, G+1, P)
+    pidx = jnp.clip(jnp.sum(pidx_onehot_src, axis=2) - 1.0, 0.0, float(npan - 1))
+    onehot = (jnp.arange(pad_p, dtype=dtype)[None, None, :] == pidx[..., None]).astype(dtype)
+    # panel geometry + node values + prefix at the boundary's panel, as
+    # (G+1, P) x (P, ...) matmuls — MXU-friendly, no dynamic gathers
+    mid_b = jnp.einsum("tgp,tp->tg", onehot, pmid_p)
+    half_b = jnp.einsum("tgp,tp->tg", onehot, phalf_p)
+    nodes_b = jnp.einsum("tgp,tpql->tgql", onehot, gvals)  # (T, G+1, NQG, L+1)
+    prefix_b = jnp.einsum("tgp,tpl->tgl", onehot, prefix)  # (T, G+1, L+1)
+    # floor 1e-30, NOT 1e-300: smaller flushes to zero in f32-range
+    # TPU-emulated f64 (ops/dd.py range caveat), giving 0/0 NaN
+    t_b = jnp.clip((sb[None, :] - mid_b) / jnp.maximum(half_b, 1e-30), -1.0, 1.0)
+    acoef = jnp.asarray(_lagrange_antiderivative_coeffs(nq_g), dtype=dtype)  # (NQG, NQG+1)
+    tpow = t_b[..., None] ** jnp.arange(nq_g + 1, dtype=dtype)  # (T, G+1, NQG+1)
+    aq = jnp.einsum("tgk,qk->tgq", tpow, acoef)  # A_q(t_b)
+    partial = half_b[..., None] * jnp.einsum("tgq,tgql->tgl", aq, nodes_b)
+    cumul = prefix_b + partial  # (T, G+1, L+1)
+
+    out = cumul[:, 1:, :] - cumul[:, :-1, :]  # (T, G, L+1)
+    n_full = cumul[:, -1, 0]
+    n_full = jnp.where(n_full > 0, n_full, 1.0)
+    return jnp.swapaxes(out, 1, 2) / n_full[:, None, None]
+
+
+def _pointwise_dens(
+    y, v, awr, gamma, beta, inv_beta, a_ratio, lo_r_dom, hi_r_dom,
+    ladder, offs_c, xr, wr, xc, wc, order: int,
+    nfill_r: int, nfill_c: int, ngeo_c: int,
+):
+    """dF_l/dE'(y) integrand values at outgoing points: list of L+1 (T, NY).
+
+    The shared inner (v_r, V_cm) quadrature of the pointwise formulation
+    (see freegas_moments_pointwise); y is (T, NY)."""
+    dtype = y.dtype
+    tt, ny = y.shape
+    nq_r = xr.shape[0]
+
+    # per-(row, y) outer v_r edges: Maxwellian ladder + 3 closed-form kinks.
+    # |v - y| covers BOTH directions: for upscatter rows (y > v) the
+    # reachable-v_r edge sits at (y - v)/(2 gamma) — without the abs the
+    # kink clipped to the domain floor and GL panels straddled the hard
+    # onset (the A~1, E <~ kT accuracy loss of round 1).
+    base_e = (v[:, None] + inv_beta[:, None] * ladder[None, :])[:, None, :]  # (T,1,11)
+    base_e = jnp.broadcast_to(base_e, (tt, ny, ladder.shape[0]))
+    g2 = (2.0 * gamma)[:, None]
+    kinks = jnp.stack(
+        [y / gamma[:, None], jnp.abs(v[:, None] - y) / g2, (v[:, None] + y) / g2], axis=-1
+    )  # (T, NY, 3)
+
+    # C-ladder layout transitions: vstar(vr) crossing the C-domain ends
+    # |y - u|, y + u, |v - u|, v + u — quadratic roots
+    #   (A/(A+1)) vr^2 -+ 2 z gamma vr + z^2 - v^2/(A+1) = 0, z in {y, v}
+    a2 = (awr / (awr + 1.0))[:, None]  # (T,1)
+    vsc = (v**2 / (awr + 1.0))[:, None]
+    root_parts = []
+    for z in (y, jnp.broadcast_to(v[:, None], y.shape)):
+        for sgn in (-1.0, 1.0):
+            bq = sgn * 2.0 * z * gamma[:, None]
+            disc = bq**2 - 4.0 * a2 * (z**2 - vsc)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root_parts.append((-bq + sq) / (2.0 * a2))
+            root_parts.append((-bq - sq) / (2.0 * a2))
+    vkinks = jnp.stack(root_parts, axis=-1)  # (T, NY, 8)
+
+    # uniform fill edges: the Maxwellian ladder grades for the Gaussian
+    # only; P_l(c_a)P_l(c_b) oscillates across the whole domain and
+    # needs panels bounded everywhere (l >= 1 convergence)
+    fill_fr = jnp.asarray(np.linspace(0.0, 1.0, nfill_r + 2)[1:-1], dtype=dtype)
+    span_r = (hi_r_dom - lo_r_dom)[:, None, None]
+    fill_r = lo_r_dom[:, None, None] + span_r * fill_fr[None, None, :]
+    fill_r = jnp.broadcast_to(fill_r, (tt, ny, fill_fr.shape[0]))
+    edges_r = jnp.sort(
+        jnp.clip(
+            jnp.concatenate([base_e, kinks, vkinks, fill_r], axis=-1),
+            lo_r_dom[:, None, None],
+            hi_r_dom[:, None, None],
+        ),
+        axis=-1,
+    )  # (T, NY, 29)
+    nrp = edges_r.shape[-1] - 1
+
+    # scan (not a python loop) over v_r panels: the unrolled form kept every
+    # panel's (T, NY, QR, C) temporaries live simultaneously in the HLO
+    # schedule — measured 19.9 GB HBM for a 64-row/33-group tile (~30x the
+    # arithmetic working set) — and the row-tile caps it forced were the
+    # free-gas family's real throughput limiter. The scan body reuses one
+    # panel's buffers; only the (L+1) x (T, NY) accumulators persist.
+    def _rp_body(carry, rp):
+        e_lo = jnp.take(edges_r, rp, axis=-1)
+        e_hi = jnp.take(edges_r, rp + 1, axis=-1)
+        rmid = 0.5 * (e_hi + e_lo)  # (T, NY)
+        rhalf = 0.5 * (e_hi - e_lo)
+        vr = rmid[..., None] + rhalf[..., None] * xr  # (T, NY, QR)
+        w_r = rhalf[..., None] * wr
+        u = gamma[:, None, None] * vr
+        lo_c = jnp.maximum(jnp.abs(y[..., None] - u), jnp.abs(v[:, None, None] - u))
+        hi_c = jnp.minimum(y[..., None] + u, v[:, None, None] + u)
+        ok_rc = hi_c > lo_c
+        # graded C nodes inside [lo_c, hi_c]
+        vstar2 = (v**2 / (awr + 1.0))[:, None, None] - (awr / (awr + 1.0) ** 2)[
+            :, None, None
+        ] * vr**2
+        vstar = jnp.sqrt(jnp.maximum(vstar2, 0.0))
+        anchor = jnp.clip(vstar, lo_c, hi_c)
+        w_quad = (1.0 / (beta * jnp.sqrt(a_ratio)))[:, None, None]
+        w_lin = 1.0 / ((beta**2 * 2.0 * a_ratio)[:, None, None] * jnp.maximum(anchor, 1e-30))
+        g_q = jnp.clip(anchor[..., None] + w_quad[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
+        g_l = jnp.clip(anchor[..., None] + w_lin[..., None] * offs_c, lo_c[..., None], hi_c[..., None])
+        # fill for the oscillatory P_l factors (same reason as the v_r
+        # fill above) + geometric grading at the lo end, where c_a/c_b
+        # vary like 1/c when u ~ y ~ v (lo_c << hi_c)
+        fill_cf = jnp.asarray(
+            np.unique(
+                np.concatenate(
+                    [
+                        np.linspace(0.0, 1.0, nfill_c + 2)[1:-1],
+                        4.0 ** -np.arange(ngeo_c, 0, -1.0),
+                    ]
+                )
+            ),
+            dtype=dtype,
+        )
+        g_f = lo_c[..., None] + (hi_c - lo_c)[..., None] * fill_cf
+        edges_c = jnp.sort(
+            jnp.concatenate([lo_c[..., None], g_q, g_l, g_f, hi_c[..., None]], axis=-1), axis=-1
+        )  # (T, NY, QR, EC)
+        cmid = 0.5 * (edges_c[..., 1:] + edges_c[..., :-1])
+        chalf = 0.5 * (edges_c[..., 1:] - edges_c[..., :-1])
+        cc = (cmid[..., None] + chalf[..., None] * xc).reshape(tt, ny, nq_r, -1)  # (T,NY,QR,C)
+        w_c = (chalf[..., None] * wc).reshape(tt, ny, nq_r, -1)
+
+        v2_ = (v**2)[:, None, None, None]
+        u4 = u[..., None]
+        vsq = (
+            -v2_ / awr[:, None, None, None]
+            + (vr**2)[..., None] / (awr + 1.0)[:, None, None, None]
+            + cc**2 * a_ratio[:, None, None, None]
+        )
+        # clamp the exponent at 0: vsq >= 0 for every VALID cell, but
+        # masked/padded cells can see vsq ~ -v^2/A, and exp overflows the
+        # f32-range emulated f64 on TPU (inf * 0-mask = NaN)
+        wgt = (
+            (vr**2)[..., None]
+            * cc
+            * jnp.exp(jnp.minimum(-(beta**2)[:, None, None, None] * vsq, 0.0))
+            * w_c
+            * w_r[..., None]
+            * ok_rc[..., None]
+        )
+        # guard the PRODUCTS (individual factors can underflow to 0
+        # jointly on masked/padded cells, giving 0/0 NaN that would
+        # poison the 0-weight multiply)
+        dens = wgt / jnp.maximum(4.0 * cc * u4, 1e-30)  # x E'-density 1/(4 C u)
+        c_a = jnp.clip(
+            (v2_ + cc**2 - u4**2) / jnp.maximum(2.0 * v[:, None, None, None] * cc, 1e-30),
+            -1.0,
+            1.0,
+        )
+        c_b = jnp.clip(
+            ((y**2)[..., None, None] + cc**2 - u4**2)
+            / jnp.maximum(2.0 * y[..., None, None] * cc, 1e-30),
+            -1.0,
+            1.0,
+        )
+        pa_prev = jnp.ones_like(c_a)
+        pb_prev = jnp.ones_like(c_b)
+        parts = [jnp.sum(dens, axis=(2, 3))]
+        if order >= 1:
+            pa_cur, pb_cur = c_a, c_b
+            parts.append(jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3)))
+            for l in range(1, order):
+                pa_next = ((2 * l + 1) * c_a * pa_cur - l * pa_prev) / (l + 1)
+                pb_next = ((2 * l + 1) * c_b * pb_cur - l * pb_prev) / (l + 1)
+                pa_prev, pa_cur = pa_cur, pa_next
+                pb_prev, pb_cur = pb_cur, pb_next
+                parts.append(jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3)))
+        return tuple(c + p for c, p in zip(carry, parts)), None
+
+    zero = jnp.zeros((tt, ny), dtype=dtype)
+    init = tuple(zero for _ in range(order + 1))
+    dsig_t, _ = jax.lax.scan(_rp_body, init, jnp.arange(nrp, dtype=jnp.int32))
+    return list(dsig_t)
