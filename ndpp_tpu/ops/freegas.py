@@ -766,7 +766,9 @@ def _pointwise_dens(
                 parts.append(jnp.sum(dens * pa_cur * pb_cur, axis=(2, 3)))
         return tuple(c + p for c, p in zip(carry, parts)), None
 
-    zero = jnp.zeros((tt, ny), dtype=dtype)
+    # derive the init carry from input data so its mesh-varying type matches
+    # the body output under shard_map (same trick as the old chunk scan)
+    zero = 0.0 * y
     init = tuple(zero for _ in range(order + 1))
     dsig_t, _ = jax.lax.scan(_rp_body, init, jnp.arange(nrp, dtype=jnp.int32))
     return list(dsig_t)
