@@ -97,6 +97,26 @@ def _cmd_compare(args) -> int:
 def _cmd_info(args) -> int:
     import h5py
 
+    if not h5py.is_hdf5(args.library):
+        from ndpp_tpu.io.library import read_ascii
+
+        datasets, attrs = read_ascii(args.library)
+        print(f"format {attrs.get('format_version')} (ASCII) written by {attrs.get('generator')}")
+        gb = datasets.get("/group_structure/bounds")
+        print(f"groups: {attrs.get('group_structure_name')} ({gb.size - 1 if gb is not None else '?'} groups)")
+        print(f"legendre_order: {attrs.get('legendre_order')}")
+        print(f"temperatures: {[float(t) for t in datasets.get('/temperatures', [])]}")
+        nucs = sorted({k.split("/")[2] for k in datasets if k.startswith("/nuclides/")})
+        print(f"nuclides ({len(nucs)}):")
+        for name in nucs:
+            ne = datasets[f"/nuclides/{name}/energy"].size
+            shape = datasets[f"/nuclides/{name}/scatter"].shape
+            chi = " chi" if f"/nuclides/{name}/chi_prompt" in datasets else ""
+            print(f"  {name:<14s} NE={ne:<7d} scatter{shape}{chi}")
+        if "metrics" in attrs:
+            print("metrics:", json.dumps(attrs["metrics"]))
+        return 0
+
     with h5py.File(args.library, "r") as f:
         print(f"format {f.attrs.get('format_version')} written by ndpp-tpu {f.attrs.get('ndpp_tpu_version')}")
         gsg = f["group_structure"]
