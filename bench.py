@@ -101,20 +101,21 @@ def _twobody_setup():
 
 
 def _freegas_rate():
-    """Free-gas panel-split kernel at the production window shape:
-    64 rows x (1 catch + 256)-group window, P5, nq 10/8/6 (freegas_driver).
-    Round-1 baseline on this shape (pointwise kernel, 16-row tiles forced
-    by its HBM footprint): 4.05e3 moments/s."""
+    """Free-gas scattering-law kernel at the production window shape:
+    64 rows x (1 catch + 256)-group window, P5 (freegas_driver).
+    History on this shape: round-1 pointwise 4.05e3 moments/s (16-row
+    tiles, HBM-capped); round-2 panel-split quadrature 2.72e4; round-2
+    scattering-law (exact density) ~4e6."""
     import jax.numpy as jnp
 
-    from ndpp_tpu.ops.freegas import freegas_moments_panelsplit
+    from ndpp_tpu.ops.freegas import freegas_moments_sab
 
     rows = 64
     bw = jnp.asarray(np.concatenate([[0.0], np.geomspace(1e-3, 200.0, 257)]))
     e0 = jnp.asarray(np.geomspace(1e-4, 10.0, rows))
     moments = rows * (ORDER + 1) * (bw.shape[0] - 1)
     rate, dt = _rate(
-        lambda e: freegas_moments_panelsplit(e, 237.98, 0.0253, bw, ORDER, 10, 8, 6),
+        lambda e: freegas_moments_sab(e, 237.98, 0.0253, bw, ORDER),
         e0,
         1e-13,
         moments,

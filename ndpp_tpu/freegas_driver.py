@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ndpp_tpu.config import BOLTZMANN_EV_PER_K
-from ndpp_tpu.ops.freegas import freegas_moments_panelsplit
+from ndpp_tpu.ops.freegas import freegas_moments_sab
 from ndpp_tpu.utils import log as log_mod
 
 
@@ -109,30 +109,29 @@ def apply_freegas(
         from ndpp_tpu.parallel import rows as rows_mod
 
         ns = e_sub.size
-        # Row cap: the scan-ified panel-split kernel's working set is
-        # ~(rows x chunk*nq_g x nq_r x ~250) per v_r panel (buffers reused
-        # across the scan), nearly window-independent; 64-row tiles compile
-        # and run at ~the same per-row cost as 16-row tiles at the
-        # 257-group window (measured 2026-08-20; the round-1 kernel's
-        # unrolled form wanted 19.9 GB HBM for the same shape). e_tile
-        # halving (OOM retry) still shrinks the tile via tile_for.
-        cap = 64
+        # Row cap: the scattering-law kernel's working set is tiny
+        # (~(rows x chunk*nq_g x ~20 u-panels x nq_u)); 256-row tiles
+        # measured 0.155 s/dispatch at the 257-group window on the v5e
+        # (2026-08-20). e_tile halving (OOM retry) still shrinks the tile
+        # via tile_for.
+        cap = 256
         tile = rows_mod.tile_for(ns, cap, cfg.device.e_tile)
         ffg = np.zeros((ns, order + 1, gs.ng))
         pending = []
-        # Single production path: the panel-split pointwise-E' kernel.
-        # The grouped kernel's Laurent closed form cancels catastrophically
-        # when a group window reaches y' << V_cm (measured 0.45 rel at A=1,
-        # E=kT on thermal-fine windows) and its order>=4 program faults
-        # the axon TPU worker. The pointwise formulation with exact v_r
-        # kinks and graded c-fill holds ~1e-8 (8/8/8) to ~1e-11 (12/16/16)
-        # against the refinement-verified oracle.freegas_exact references
-        # in every probed regime; the panel-split variant keeps the same
-        # inner quadrature but pays the outgoing-y axis ONLY at the
-        # integrand's own panel structure (group splits via the GL-node
-        # Lagrange interpolant), making per-row cost independent of the
-        # window size — measured 6.7x over the round-1 scheme at the
-        # production 257-group window, equal accuracy.
+        # Single production path: freegas_moments_sab — the EXACT
+        # scattering-law density (the (v_r, V_cm) double quadrature
+        # collapses to one smooth Gaussian integral in u; derivation and
+        # oracle validation at 2.6e-11 in scripts/freegas_sab_closed.py)
+        # under the panel-split outgoing machinery (group splits from the
+        # GL-node Lagrange interpolant; per-row cost independent of the
+        # window's group count). Agreement with the retired quadrature
+        # kernels' 12/16/16 reference: 2.4e-9 worst (nq_u=16); measured
+        # ~1000x the round-1 pointwise kernel's rate at the production
+        # 257-group window (BASELINE.md). History: the grouped kernel's
+        # Laurent closed form cancelled catastrophically on thermal-fine
+        # windows; the pointwise quadrature kernels (freegas_moments_
+        # pointwise / _panelsplit) remain in ops/freegas as the
+        # independent cross-validation path (test_freegas).
         #
         # The kernel normalizes over ITS OWN window, so it always gets a
         # COVERING one: an extra leading [0, bounds_0) catch group holds
@@ -151,8 +150,8 @@ def apply_freegas(
 
         for start, length in unionize.tile_indices(ns, tile):
             e_t = unionize.pad_to(e_sub[start : start + length], tile)
-            part = freegas_moments_panelsplit(
-                rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order, nq_g=10, nq_r=8, nq_c=6
+            part = freegas_moments_sab(
+                rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order
             )
             pending.append((start, length, part))
             if len(pending) >= 2:  # bound the queued device work

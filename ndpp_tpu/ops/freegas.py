@@ -505,7 +505,6 @@ def freegas_moments_panelsplit(
     freegas_moments_pointwise).
     """
     dtype = e.dtype
-    ng = bounds.shape[0] - 1
     v = jnp.sqrt(e)  # (T,)
     awr = jnp.broadcast_to(jnp.asarray(awr, dtype=dtype), e.shape)
     kt = jnp.broadcast_to(jnp.asarray(kt, dtype=dtype), e.shape)
@@ -513,6 +512,160 @@ def freegas_moments_panelsplit(
     beta = jnp.sqrt(awr / kt)
     inv_beta = 1.0 / beta
     a_ratio = (awr + 1.0) / awr
+
+    xr, wr = gl_nodes_weights(nq_r)
+    xr = jnp.asarray(xr, dtype=dtype)
+    wr = jnp.asarray(wr, dtype=dtype)
+    xc, wc = gl_nodes_weights(nq_c)
+    xc = jnp.asarray(xc, dtype=dtype)
+    wc = jnp.asarray(wc, dtype=dtype)
+    lo_r_dom = jnp.maximum(v - 8.0 * inv_beta, 0.0)
+    hi_r_dom = v + 8.0 * inv_beta
+    ladder = jnp.asarray(_VR_OFFSETS, dtype=dtype)
+    offs_c = jnp.asarray(_VCM_OFFSETS, dtype=dtype)
+
+    def dens_fn(y):
+        return _pointwise_dens(
+            y, v, awr, gamma, beta, inv_beta, a_ratio, lo_r_dom, hi_r_dom,
+            ladder, offs_c, xr, wr, xc, wc, order, nfill_r, nfill_c, ngeo_c,
+        )
+
+    return _outgoing_panelsplit(e, v, awr, kt, bounds, order, nq_g, nfill_y, chunk, dens_fn)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("order", "nq_u", "nq_g", "chunk", "nfill_y"),
+)
+def freegas_moments_sab(
+    e,
+    awr,
+    kt,
+    bounds,
+    order: int,
+    nq_u: int = 16,
+    nq_g: int = 10,
+    chunk: int = 8,
+    nfill_y: int = 8,
+):
+    """Free-gas moments via the EXACT scattering-law density: (T, L+1, G).
+
+    The (v_r, V_cm) double quadrature of the pointwise kernels collapses to
+    a SINGLE smooth Gaussian integral (scripts/freegas_sab_closed.py holds
+    the full derivation and its validation — worst 2.6e-11 relative against
+    the independent dense (v_r, V_cm) reference across an (A, E, E') matrix):
+
+      alpha = (E + E' - 2 mu sqrt(EE'))/(A kT)  in  [a-, a+],
+      S_freegas(alpha, beta) = (4 pi alpha)^(-1/2) e^{-(alpha+beta)^2/(4 alpha)},
+      mu(alpha) linear  =>  with t = sqrt(alpha), u = (t - |beta|/t)/2:
+
+        dF_l/dE' ~ e^{-max(beta,0)} int du (dt/du) e^{-u^2} P_l(m0 - m1 t(u)^2),
+        t(u) = u + sqrt(u^2 + |beta|)  (monotone, both scatter directions
+        via the identity ((t+c/t)/2)^2 = u^2 + c).
+
+    ~10^2 nodes per outgoing point replace the ~6.6e4 (v_r, V_cm) nodes of
+    the quadrature kernels; the outgoing-y axis reuses the panel-split
+    machinery (group splits from the GL-node Lagrange interpolant), so the
+    total per-row cost is both G-independent and ~100x lighter.
+
+    bounds: FINITE covering window, ascending.
+    """
+    dtype = e.dtype
+    v = jnp.sqrt(e)
+    awr = jnp.broadcast_to(jnp.asarray(awr, dtype=dtype), e.shape)
+    kt = jnp.broadcast_to(jnp.asarray(kt, dtype=dtype), e.shape)
+
+    def dens_fn(y):
+        return _sab_dens(y, v, awr, kt, order, nq_u)
+
+    return _outgoing_panelsplit(e, v, awr, kt, bounds, order, nq_g, nfill_y, chunk, dens_fn)
+
+
+_SAB_ULAD = np.array([-6.0, -4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0, 6.0])
+_SAB_CLAD = np.array([-8.0, -4.0, -2.0, -1.0, 1.0, 2.0, 4.0, 8.0])
+_UCLIP = 8.5
+
+
+def _sab_dens(y, v, awr, kt, order: int, nq_u: int):
+    """Exact dF_l/dE' at outgoing points y via the free-gas scattering law.
+
+    y: (T, NY); returns a list of L+1 (T, NY) arrays (up to an E-row-only
+    constant factor, which the caller's row normalization cancels).
+    Endpoint u-values use the exact identities c/t- = (y+v) sqrt(A/kT) and
+    c/t+ = |y-v| sqrt(A/kT) (no 0/0 at the elastic point; for u < 0 at
+    beta -> 0 the Jacobian t/sqrt(u^2+c) -> 0 kills the spurious segment
+    continuously). Panels: a fixed u-ladder for the Gaussian plus a
+    sqrt(|beta|)-scaled ladder resolving the sqrt(u^2+c) curvature at
+    u ~ 0 (the elastic cusp).
+    """
+    dtype = y.dtype
+    tt, ny = y.shape
+    vv = v[:, None]
+    akt = (awr * kt)[:, None]
+    sq_akt = jnp.sqrt(akt)
+    sq_a_kt = jnp.sqrt(awr / kt)[:, None]
+    dy = jnp.abs(y - vv)
+    sy = y + vv
+    beta_s = (y * y - vv * vv) / kt[:, None]  # signed energy transfer / kT
+    c = jnp.abs(beta_s)
+    u_lo = jnp.maximum(0.5 * (dy / sq_akt - sy * sq_a_kt), -_UCLIP)
+    u_hi = jnp.minimum(0.5 * (sy / sq_akt - dy * sq_a_kt), _UCLIP)
+    u_hi = jnp.maximum(u_hi, u_lo)
+    denom = jnp.maximum(2.0 * vv * y, 1e-30)
+    m0 = (vv * vv + y * y) / denom
+    m1 = akt / denom
+
+    sc = jnp.sqrt(c)
+    ulad = jnp.asarray(_SAB_ULAD, dtype=dtype)
+    clad = jnp.asarray(_SAB_CLAD, dtype=dtype)
+    edges = jnp.concatenate(
+        [
+            u_lo[..., None],
+            jnp.clip(jnp.broadcast_to(ulad, (tt, ny, ulad.shape[0])), u_lo[..., None], u_hi[..., None]),
+            jnp.clip(sc[..., None] * clad, u_lo[..., None], u_hi[..., None]),
+            u_hi[..., None],
+        ],
+        axis=-1,
+    )
+    edges = jnp.sort(edges, axis=-1)  # (T, NY, P+1)
+    xq, wq = gl_nodes_weights(nq_u)
+    xq = jnp.asarray(xq, dtype=dtype)
+    wq = jnp.asarray(wq, dtype=dtype)
+    pm = 0.5 * (edges[..., 1:] + edges[..., :-1])
+    ph = 0.5 * (edges[..., 1:] - edges[..., :-1])
+    u = pm[..., None] + ph[..., None] * xq  # (T, NY, P, Q)
+    w = ph[..., None] * wq
+    root = jnp.sqrt(u * u + c[..., None, None])
+    t = u + root
+    jac = t / jnp.maximum(root, 1e-30)
+    expo = -(u * u) - jnp.maximum(beta_s, 0.0)[..., None, None]
+    base = w * jac * jnp.exp(expo)
+    mu = jnp.clip(m0[..., None, None] - m1[..., None, None] * t * t, -1.0, 1.0)
+
+    dsig = [jnp.sum(base, axis=(2, 3))]
+    if order >= 1:
+        p_prev = jnp.ones_like(mu)
+        p_cur = mu
+        dsig.append(jnp.sum(base * p_cur, axis=(2, 3)))
+        for l in range(1, order):
+            p_next = ((2 * l + 1) * mu * p_cur - l * p_prev) / (l + 1)
+            p_prev, p_cur = p_cur, p_next
+            dsig.append(jnp.sum(base * p_cur, axis=(2, 3)))
+    return dsig
+
+
+def _outgoing_panelsplit(e, v, awr, kt, bounds, order: int, nq_g: int, nfill_y: int, chunk: int, dens_fn):
+    """Shared outgoing-axis machinery of the panel-split kernels.
+
+    Panels at the integrand's own structure only; group-boundary splits via
+    the GL-node Lagrange interpolant (see freegas_moments_panelsplit).
+    dens_fn maps y (T, NY) -> list of L+1 (T, NY) density values.
+    """
+    dtype = e.dtype
+    ng = bounds.shape[0] - 1
+    gamma = awr / (awr + 1.0)
+    beta = jnp.sqrt(awr / kt)
+    inv_beta = 1.0 / beta
     tt = e.shape[0]
 
     sb = jnp.sqrt(jnp.maximum(bounds, 0.0))  # (G+1,) finite ascending
@@ -545,17 +698,6 @@ def freegas_moments_panelsplit(
     pmid = 0.5 * (y_edges[:, 1:] + y_edges[:, :-1])  # (T, NP)
     phalf = 0.5 * (y_edges[:, 1:] - y_edges[:, :-1])
 
-    xr, wr = gl_nodes_weights(nq_r)
-    xr = jnp.asarray(xr, dtype=dtype)
-    wr = jnp.asarray(wr, dtype=dtype)
-    xc, wc = gl_nodes_weights(nq_c)
-    xc = jnp.asarray(xc, dtype=dtype)
-    wc = jnp.asarray(wc, dtype=dtype)
-    lo_r_dom = jnp.maximum(v - 8.0 * inv_beta, 0.0)
-    hi_r_dom = v + 8.0 * inv_beta
-    ladder = jnp.asarray(_VR_OFFSETS, dtype=dtype)
-    offs_c = jnp.asarray(_VCM_OFFSETS, dtype=dtype)
-
     # --- evaluate g(y) = dF_l/dE' * 2y at every panel GL node, chunked
     n_chunks = -(-npan // chunk)
     pad_p = n_chunks * chunk
@@ -568,10 +710,7 @@ def freegas_moments_panelsplit(
         pm = jax.lax.dynamic_slice_in_dim(pmid_p, c0, chunk, axis=1)
         ph = jax.lax.dynamic_slice_in_dim(phalf_p, c0, chunk, axis=1)
         y = (pm[:, :, None] + ph[:, :, None] * xg[None, None, :]).reshape(tt, chunk * nq_g)
-        dsig = _pointwise_dens(
-            y, v, awr, gamma, beta, inv_beta, a_ratio, lo_r_dom, hi_r_dom,
-            ladder, offs_c, xr, wr, xc, wc, order, nfill_r, nfill_c, ngeo_c,
-        )
+        dsig = dens_fn(y)
         vals = jnp.stack(dsig, axis=-1) * (2.0 * y)[..., None]  # g(y) = dens * dE'/dy
         vals = vals.reshape(tt, chunk, nq_g, order + 1)
         gvals = jax.lax.dynamic_update_slice(gvals, vals, (0, c0, 0, 0))

@@ -102,12 +102,12 @@ def sharded_freegas_moments(mesh: Mesh, e, awr, kt, bounds, order: int, **kw):
     e: (N, T); awr: (N,); kt scalar; bounds replicated (must be FINITE —
     the production pointwise kernel windows them). No collectives.
     """
-    from ndpp_tpu.ops.freegas import freegas_moments_panelsplit
+    from ndpp_tpu.ops.freegas import freegas_moments_sab
 
     def local(e_b, awr_b, bounds_b):
         n_loc, t_loc = e_b.shape
         rows = n_loc * t_loc
-        out = freegas_moments_panelsplit(
+        out = freegas_moments_sab(
             e_b.reshape(rows), jnp.repeat(awr_b, t_loc), kt, bounds_b, order, **kw
         )
         return out.reshape(n_loc, t_loc, order + 1, bounds_b.shape[0] - 1)

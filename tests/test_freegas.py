@@ -204,6 +204,33 @@ def test_doppler_xs_weighting():
     assert np.abs(t_on - t_off).max() < 5e-4
 
 
+def test_sab_kernel_matches_quadrature_and_anchor():
+    """freegas_moments_sab — the production path since round 2: the
+    (v_r, V_cm) double quadrature collapses to ONE smooth Gaussian
+    integral via the free-gas scattering law (derivation + 2.6e-11 oracle
+    validation in scripts/freegas_sab_closed.py) — must agree with the
+    independent quadrature kernel at its high-quadrature reference
+    setting, stay exactly normalized, and hit the erf f0 closed-form
+    anchor."""
+    from ndpp_tpu.ops.freegas import freegas_moments_sab
+
+    bw = np.concatenate([[0.0], np.geomspace(1e-4, 4.0, 24), [50.0]])
+    e = jnp.asarray([KT / 10, KT, 1.0, 9.9])
+    for awr in (0.999167, 15.858, 238.0):
+        truth = np.asarray(
+            freegas_moments_pointwise(e, awr, KT, jnp.asarray(bw), 5, 12, 16, 16)
+        )
+        got = np.asarray(freegas_moments_sab(e, awr, KT, jnp.asarray(bw), 5))
+        np.testing.assert_allclose(got, truth, atol=3e-8, err_msg=f"A={awr}")
+        np.testing.assert_allclose(got[:, 0, :].sum(-1), 1.0, rtol=1e-12)
+        anchor = f0_groups_exact(KT, awr, KT, bw, clamp=True)
+        g0 = np.asarray(
+            freegas_moments_sab(jnp.asarray([KT]), awr, KT, jnp.asarray(bw), 2)
+        )[0, 0]
+        scale = np.abs(anchor).max()
+        np.testing.assert_allclose(g0, anchor, rtol=3e-8, atol=3e-8 * scale, err_msg=f"A={awr}")
+
+
 def test_panelsplit_matches_pointwise_and_anchor():
     """The panel-split kernel (the production free-gas path since round 2:
     outgoing-y panels at the integrand's own structure only, group splits
