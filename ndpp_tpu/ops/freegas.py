@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ndpp_tpu.ops.legendre import gl_nodes_weights, legendre_all
+from ndpp_tpu.ops.panelsplit import lagrange_cumulants
 
 # per-row outer v_r panel offsets in units of 1/beta, graded around v_r = v
 _VR_OFFSETS = np.array([-8.0, -4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0, 4.0, 8.0])
@@ -448,25 +449,6 @@ def freegas_moments_pointwise(
     return jnp.swapaxes(out, 1, 2) / n_full[:, None, None]
 
 
-def _lagrange_antiderivative_coeffs(nq: int) -> np.ndarray:
-    """(NQ, NQ+1) monomial coefficients of A_q(t) = int_{-1}^t L_q on GL nodes.
-
-    L_q is the Lagrange basis on the nq-point Gauss-Legendre nodes; by the
-    definition of GL weights, A_q(1) == w_q exactly, so partial-panel
-    integrals built from these telescope consistently with GL panel sums.
-    """
-    x, w = np.polynomial.legendre.leggauss(nq)
-    out = np.zeros((nq, nq + 1))
-    for q in range(nq):
-        roots = np.delete(x, q)
-        poly = np.polynomial.polynomial.Polynomial.fromroots(roots)
-        poly = poly / poly(x[q])
-        integ = poly.integ(lbnd=-1.0)
-        out[q, : integ.coef.size] = integ.coef
-    assert np.allclose(out @ np.power(1.0, np.arange(nq + 1)), w, atol=1e-13)
-    return out
-
-
 @partial(
     jax.jit,
     static_argnames=("order", "nq_g", "nq_r", "nq_c", "chunk", "nfill_r", "nfill_c", "ngeo_c", "nfill_y"),
@@ -719,31 +701,9 @@ def _outgoing_panelsplit(e, v, awr, kt, bounds, order: int, nq_g: int, nfill_y: 
     init = jnp.zeros((tt, pad_p, nq_g, order + 1), dtype=dtype) + (0.0 * e)[:, None, None, None]
     gvals, _ = jax.lax.scan(body, init, chunk_ids)
 
-    # --- panel totals + exclusive prefix sums along panels
-    totals = phalf_p[..., None] * jnp.einsum("q,tpql->tpl", wg, gvals)  # (T, P_pad, L+1)
-    prefix = jnp.cumsum(totals, axis=1) - totals  # exclusive
-
-    # --- cumulative integral C_l(sb_g) at every group boundary
-    # panel of each boundary: # of left edges <= b, minus 1 (no gather)
-    b = sb[None, :, None]  # (1, G+1, 1)
-    le = y_edges[:, None, :-1]  # (T, 1, P)
-    pidx_onehot_src = (le <= b).astype(dtype)  # (T, G+1, P)
-    pidx = jnp.clip(jnp.sum(pidx_onehot_src, axis=2) - 1.0, 0.0, float(npan - 1))
-    onehot = (jnp.arange(pad_p, dtype=dtype)[None, None, :] == pidx[..., None]).astype(dtype)
-    # panel geometry + node values + prefix at the boundary's panel, as
-    # (G+1, P) x (P, ...) matmuls — MXU-friendly, no dynamic gathers
-    mid_b = jnp.einsum("tgp,tp->tg", onehot, pmid_p)
-    half_b = jnp.einsum("tgp,tp->tg", onehot, phalf_p)
-    nodes_b = jnp.einsum("tgp,tpql->tgql", onehot, gvals)  # (T, G+1, NQG, L+1)
-    prefix_b = jnp.einsum("tgp,tpl->tgl", onehot, prefix)  # (T, G+1, L+1)
-    # floor 1e-30, NOT 1e-300: smaller flushes to zero in f32-range
-    # TPU-emulated f64 (ops/dd.py range caveat), giving 0/0 NaN
-    t_b = jnp.clip((sb[None, :] - mid_b) / jnp.maximum(half_b, 1e-30), -1.0, 1.0)
-    acoef = jnp.asarray(_lagrange_antiderivative_coeffs(nq_g), dtype=dtype)  # (NQG, NQG+1)
-    tpow = t_b[..., None] ** jnp.arange(nq_g + 1, dtype=dtype)  # (T, G+1, NQG+1)
-    aq = jnp.einsum("tgk,qk->tgq", tpow, acoef)  # A_q(t_b)
-    partial = half_b[..., None] * jnp.einsum("tgq,tgql->tgl", aq, nodes_b)
-    cumul = prefix_b + partial  # (T, G+1, L+1)
+    # --- cumulative integrals C_l(sb_g) at every group boundary (shared
+    # Lagrange machinery: ops/panelsplit.lagrange_cumulants)
+    cumul = lagrange_cumulants(y_edges, pmid_p, phalf_p, gvals, wg, sb, npan, nq_g)
 
     out = cumul[:, 1:, :] - cumul[:, :-1, :]  # (T, G, L+1)
     n_full = cumul[:, -1, 0]

@@ -1,0 +1,76 @@
+"""Shared Lagrange panel-split machinery (free-gas + continuum kernels).
+
+A kernel integrates a SMOOTH density over panels chosen at the integrand's
+own structure (cusps, data-knot images, graded ladders) — NOT at group
+boundaries, across which the density is analytic. Panel GL sums give the
+totals; each group boundary's partial integral inside its panel comes from
+the GL-node Lagrange interpolant, whose full-panel integral IS the GL sum
+(GL weights are the integrals of the Lagrange basis), so cumulative sums
+telescope exactly: C(first edge) = 0, C(last edge) = total, and group
+values are differences of boundary cumulants. Per-row cost is then
+independent of the group count (round-2; first applied to the free-gas
+kernels, then the continuum family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def lagrange_antiderivative_coeffs(nq: int) -> np.ndarray:
+    """(NQ, NQ+1) monomial coefficients of A_q(t) = int_{-1}^t L_q on GL nodes.
+
+    L_q is the Lagrange basis on the nq-point Gauss-Legendre nodes; by the
+    definition of GL weights, A_q(1) == w_q exactly, so partial-panel
+    integrals built from these telescope consistently with GL panel sums.
+    """
+    x, w = np.polynomial.legendre.leggauss(nq)
+    out = np.zeros((nq, nq + 1))
+    for q in range(nq):
+        roots = np.delete(x, q)
+        poly = np.polynomial.polynomial.Polynomial.fromroots(roots)
+        poly = poly / poly(x[q])
+        integ = poly.integ(lbnd=-1.0)
+        out[q, : integ.coef.size] = integ.coef
+    assert np.allclose(out @ np.power(1.0, np.arange(nq + 1)), w, atol=1e-13)
+    return out
+
+
+def lagrange_cumulants(edges, pmid_p, phalf_p, gvals, wg, boundaries, npan: int, nq: int):
+    """Cumulative panel integrals C_l evaluated at arbitrary boundaries.
+
+    edges: (T, NP+1) ascending panel edges; pmid_p/phalf_p: (T, P_pad)
+    padded panel mids/halves (pad halves = 0); gvals: (T, P_pad, NQ, L+1)
+    density node values; wg: (NQ,) GL weights; boundaries: (NB,) shared or
+    (T, NB) per-row. Returns (T, NB, L+1). Boundaries below the first edge
+    give 0, above the last give the total (clip semantics of the one-hot
+    panel lookup + t in [-1, 1]). All lookups are one-hot matmuls — no
+    dynamic gathers (XLA:TPU gathers measured ~10x the surrounding
+    compute, round 1).
+    """
+    dtype = gvals.dtype
+    tt = edges.shape[0]
+    pad_p = gvals.shape[1]
+    totals = phalf_p[..., None] * jnp.einsum("q,tpql->tpl", wg, gvals)  # (T, P_pad, L+1)
+    prefix = jnp.cumsum(totals, axis=1) - totals  # exclusive
+
+    b = boundaries if boundaries.ndim == 2 else jnp.broadcast_to(
+        boundaries[None, :], (tt, boundaries.shape[0])
+    )
+    le = edges[:, None, :-1]  # (T, 1, P)
+    pidx = jnp.clip(jnp.sum((le <= b[:, :, None]).astype(dtype), axis=2) - 1.0, 0.0, float(npan - 1))
+    onehot = (jnp.arange(pad_p, dtype=dtype)[None, None, :] == pidx[..., None]).astype(dtype)
+    mid_b = jnp.einsum("tgp,tp->tg", onehot, pmid_p)
+    half_b = jnp.einsum("tgp,tp->tg", onehot, phalf_p)
+    nodes_b = jnp.einsum("tgp,tpql->tgql", onehot, gvals)  # (T, NB, NQ, L+1)
+    prefix_b = jnp.einsum("tgp,tpl->tgl", onehot, prefix)  # (T, NB, L+1)
+    # floor 1e-30, NOT 1e-300: smaller flushes to zero in f32-range
+    # TPU-emulated f64 (ops/dd.py range caveat), giving 0/0 NaN
+    t_b = jnp.clip((b - mid_b) / jnp.maximum(half_b, 1e-30), -1.0, 1.0)
+    acoef = jnp.asarray(lagrange_antiderivative_coeffs(nq), dtype=dtype)  # (NQ, NQ+1)
+    tpow = t_b[..., None] ** jnp.arange(nq + 1, dtype=dtype)  # (T, NB, NQ+1)
+    aq = jnp.einsum("tgk,qk->tgq", tpow, acoef)  # A_q(t_b)
+    partial = half_b[..., None] * jnp.einsum("tgq,tgql->tgl", aq, nodes_b)
+    return prefix_b + partial
