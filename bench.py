@@ -126,7 +126,9 @@ def _freegas_rate():
 
 def _continuum_rate():
     """Kalbach pointwise kernel at a production-like shape: 256 rows x 64
-    outgoing knots, P5, 361 groups, windowed knot gather (continuum_driver)."""
+    outgoing knots, P5, 361 groups, windowed knot gather, Lagrange group
+    split (continuum_driver). History on this shape: boundary-edged panels
+    6.19e5 moments/s -> lagrange 1.74e6 (2.8x, 2026-08-20)."""
     import jax.numpy as jnp
 
     from ndpp_tpu import groups
@@ -151,7 +153,7 @@ def _continuum_rate():
     )
     rate, dt = _rate(
         lambda e_arr: cm_moments_pointwise(
-            e_arr, *args, awr, ORDER, 8, 8, "kalbach", "tabular", True, 8, 16
+            e_arr, *args, awr, ORDER, 8, 8, "kalbach", "tabular", True, 8, 16, "lagrange"
         ),
         jnp.asarray(e),
         1e-13,

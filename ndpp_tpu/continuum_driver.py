@@ -160,6 +160,7 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 clamp,
                 8,
                 ksel,
+                "lagrange",  # G-independent outer panels (ops/panelsplit)
             )
             pending.append((sl, length, res))
         for sl, length, res in pending:

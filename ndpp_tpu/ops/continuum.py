@@ -142,7 +142,7 @@ _NBODY_LADDER = np.concatenate(
 
 @partial(
     jax.jit,
-    static_argnames=("order", "nq_w", "nq_y", "angular", "energy", "clamp", "nbody_expo", "chunk", "ksel"),
+    static_argnames=("order", "nq_w", "nq_y", "angular", "energy", "clamp", "nbody_expo", "chunk", "ksel", "group_split"),
 )
 def cm_moments_pointwise(
     e,
@@ -164,6 +164,7 @@ def cm_moments_pointwise(
     clamp: bool = True,
     chunk: int = 8,
     ksel: int = 0,
+    group_split: str = "panels",  # "panels" | "lagrange" (see below)
 ):
     """CM-frame continuum moments via the pointwise-E'_lab formulation: (T, L+1, G).
 
@@ -190,6 +191,13 @@ def cm_moments_pointwise(
     ksel > 0 enables the windowed-knot fast path: only the <= ksel data
     knots that can fall inside a [|w-s|, w+s] window (host-verified bound)
     are gathered as inner panel edges; ksel = 0 uses every knot.
+
+    group_split = "lagrange" drops the group boundaries from the outer
+    panel edges (the density is SMOOTH across them) and splits panel
+    integrals at the boundaries via the shared Lagrange cumulant machinery
+    (ops/panelsplit; first proven on the free-gas kernels) — outer cost
+    becomes independent of G (~4x fewer outer points at the production
+    361-group structure). "panels" is the round-1 boundary-edged scheme.
     """
     dtype = e.dtype
     tt = e.shape[0]
@@ -224,7 +232,6 @@ def cm_moments_pointwise(
     w_max_c = jnp.maximum(w_max, w_min)[:, None]
 
     parts = [
-        jnp.broadcast_to(sb[None, :], (tt, ng + 1)),
         yk + s[:, None],
         jnp.abs(yk - s[:, None]),
         s[:, None],
@@ -243,6 +250,8 @@ def cm_moments_pointwise(
     span = (w_max_c - w_min_c)
     parts.append(w_min_c + span * lad)
     parts.append(w_max_c - span * lad)
+    if group_split != "lagrange":
+        parts.insert(0, jnp.broadcast_to(sb[None, :], (tt, ng + 1)))
     w_edges = jnp.sort(jnp.clip(jnp.concatenate(parts, axis=1), w_min_c, w_max_c), axis=1)
     npan = w_edges.shape[1] - 1
     pmid = 0.5 * (w_edges[:, 1:] + w_edges[:, :-1])  # (T, P)
@@ -371,12 +380,46 @@ def cm_moments_pointwise(
                 p_next = ((2 * l + 1) * mu_lab * p_cur - l * p_prev) / (l + 1)
                 p_prev, p_cur = p_cur, p_next
                 m_list.append(jnp.sum(wgt * p_cur, axis=(2, 3)))
-        mnode = jnp.stack(m_list, axis=-1) * (w_wt * inv_s[:, None])[..., None]  # (T, NW, L+1)
-        vals = mnode.reshape(tt, chunk, nq_w, order + 1).sum(axis=2)  # (T, PC, L+1)
-        acc = jax.lax.dynamic_update_slice_in_dim(
-            carry, jax.lax.dynamic_slice_in_dim(carry, c0, chunk, axis=1) + vals, c0, axis=1
-        )
+        if group_split == "lagrange":
+            # node values of the DENSITY g(w) = dF/dw (2w from dE' = 2w dw,
+            # 1/s Jacobian) — panel half-widths and GL weights are applied
+            # by lagrange_cumulants, NOT here
+            mnode = jnp.stack(m_list, axis=-1) * (2.0 * w * inv_s[:, None])[..., None]
+            vals = mnode.reshape(tt, chunk, nq_w, order + 1)
+            acc = jax.lax.dynamic_update_slice(carry, vals, (0, c0, 0, 0))
+        else:
+            mnode = jnp.stack(m_list, axis=-1) * (w_wt * inv_s[:, None])[..., None]  # (T, NW, L+1)
+            vals = mnode.reshape(tt, chunk, nq_w, order + 1).sum(axis=2)  # (T, PC, L+1)
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                carry, jax.lax.dynamic_slice_in_dim(carry, c0, chunk, axis=1) + vals, c0, axis=1
+            )
         return acc, None
+
+    if group_split == "lagrange":
+        from ndpp_tpu.ops.panelsplit import lagrange_cumulants
+
+        init = jnp.zeros((tt, pad_p, nq_w, order + 1), dtype=dtype) + (0.0 * e)[:, None, None, None]
+        gvals, _ = jax.lax.scan(body, init, chunk_ids)
+        # effective boundaries: with clamping the edge groups absorb the
+        # below-/above-window mass, so the outermost boundaries are the
+        # DOMAIN ends (w_min, w_max); without clamping the domain was
+        # already clipped to [sb_0, sb_G] above
+        if clamp:
+            b_arr = jnp.concatenate(
+                [
+                    w_min[:, None],
+                    jnp.broadcast_to(sb[1:-1][None, :], (tt, ng - 1)),
+                    jnp.maximum(w_max, w_min)[:, None],
+                ],
+                axis=1,
+            )
+        else:
+            b_arr = jnp.broadcast_to(sb[None, :], (tt, ng + 1))
+        cumul = lagrange_cumulants(
+            w_edges, pmid_p, phalf_p, gvals, ww_, b_arr, npan, nq_w
+        )  # (T, G+1, L+1)
+        out = cumul[:, 1:, :] - cumul[:, :-1, :]
+        return jnp.swapaxes(out, 1, 2)
 
     init = jnp.zeros((tt, pad_p, order + 1), dtype=dtype) + (0.0 * e)[:, None, None]
     panel_vals, _ = jax.lax.scan(body, init, chunk_ids)
