@@ -21,11 +21,12 @@ from ndpp_tpu.host.prep_continuum import prepare_continuum
 from ndpp_tpu.ops.chi import analytic_group_fractions, tabular_group_fractions
 from ndpp_tpu.utils import log as log_mod
 from ndpp_tpu.utils.errors import AceFormatError
+from ndpp_tpu.utils.metrics import RunMetrics
 
 FISSION_MTS = (18, 19, 20, 21, 38)
 
 
-def _law_fractions(prep, gs, cfg) -> np.ndarray:
+def _law_fractions(prep, gs, cfg, metrics=None) -> np.ndarray:
     """(NE, G) group fractions of one law's energy pdf (row-sharded dispatch)."""
     from ndpp_tpu.parallel import rows as rows_mod
 
@@ -36,7 +37,8 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
     if prep.kind == "lab-analytic":
         tile = rows_mod.tile_for(ne, 4096, cfg.device.e_tile)
         pending = []
-        for start, length in unionize.tile_indices(ne, tile):
+        with RunMetrics.span_or_null(metrics, "dispatch.chi"):
+          for start, length in unionize.tile_indices(ne, tile):
             frac = analytic_group_fractions(
                 rows_mod.put_rows(unionize.pad_to(prep.e[start : start + length], tile)),
                 rows_mod.put_rows(unionize.pad_to(prep.extra["theta"][start : start + length], tile)),
@@ -47,8 +49,9 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
                 clamp,
             )
             pending.append((start, length, frac))
-        for start, length, frac in pending:
-            out[start : start + length] = np.asarray(frac)[:length]
+        with RunMetrics.span_or_null(metrics, "wait.chi"):
+            for start, length, frac in pending:
+                out[start : start + length] = np.asarray(frac)[:length]
         return out
     if prep.e_knots is None:
         raise AceFormatError(f"chi: unsupported spectrum kind {prep.kind!r}")
@@ -57,7 +60,8 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
     kn = unionize.pad_to(prep.e_knots, k16, axis=1)
     pd = unionize.pad_to(prep.pdf, k16, axis=1)
     pending = []
-    for start, length in unionize.tile_indices(ne, tile):
+    with RunMetrics.span_or_null(metrics, "dispatch.chi"):
+      for start, length in unionize.tile_indices(ne, tile):
         frac = tabular_group_fractions(
             rows_mod.put_rows(unionize.pad_to(kn[start : start + length], tile)),
             rows_mod.put_rows(unionize.pad_to(pd[start : start + length], tile)),
@@ -65,8 +69,9 @@ def _law_fractions(prep, gs, cfg) -> np.ndarray:
             clamp,
         )
         pending.append((start, length, frac))
-    for start, length, frac in pending:
-        out[start : start + length] = np.asarray(frac)[:length]
+    with RunMetrics.span_or_null(metrics, "wait.chi"):
+        for start, length, frac in pending:
+            out[start : start + length] = np.asarray(frac)[:length]
     disc = prep.extra.get("disc")
     if disc is not None:
         # ND > 0 delta lines: their l=0 contribution is the line probability
@@ -96,18 +101,20 @@ def chi_collapse(res, nuc, gs, cfg, metrics=None) -> None:
 
     prompt = np.zeros((e_grid.size, ng))
     for ed in fission.energy_dists:
-        prep = prepare_continuum(nuc, fission, ed, e_grid, order=0)
+        with RunMetrics.span_or_null(metrics, "prep.chi"):
+            prep = prepare_continuum(nuc, fission, ed, e_grid, order=0)
         if metrics is not None and prep.padded_elements:
             metrics.record_padding(prep.real_elements, prep.padded_elements)
-        prompt += prep.applicability[:, None] * _law_fractions(prep, gs, cfg)
+        prompt += prep.applicability[:, None] * _law_fractions(prep, gs, cfg, metrics)
 
     delayed = None
     if nuc.precursors and nuc.delayed_spectra:
         delayed = np.zeros((e_grid.size, ng))
         for prec, spec in zip(nuc.precursors, nuc.delayed_spectra):
-            prep = prepare_continuum(nuc, fission, spec, e_grid, order=0)
+            with RunMetrics.span_or_null(metrics, "prep.chi"):
+                prep = prepare_continuum(nuc, fission, spec, e_grid, order=0)
             pk = np.clip(prec.probability(e_grid), 0.0, None)
-            delayed += pk[:, None] * prep.applicability[:, None] * _law_fractions(prep, gs, cfg)
+            delayed += pk[:, None] * prep.applicability[:, None] * _law_fractions(prep, gs, cfg, metrics)
         # normalize delayed fractions if precursor probabilities don't sum to 1
         psum = np.sum([np.clip(p.probability(e_grid), 0.0, None) for p in nuc.precursors], axis=0)
         with np.errstate(invalid="ignore"):

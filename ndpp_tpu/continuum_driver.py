@@ -14,6 +14,7 @@ from ndpp_tpu.host.prep_continuum import ContinuumPrepared, prepare_continuum
 from ndpp_tpu.ops.chi import analytic_group_fractions
 from ndpp_tpu.ops.continuum import cm_moments_pointwise, lab_tabular_moments
 from ndpp_tpu.utils.errors import AceFormatError, NdppError
+from ndpp_tpu.utils.metrics import RunMetrics
 
 _CONTINUUM_TILE = 256  # rows per device dispatch; compute is chunked in-kernel
 
@@ -57,7 +58,7 @@ def _tiles(ne: int, cap: int, e_tile: int = 512):
     return tile, unionize.tile_indices(ne, tile)
 
 
-def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndarray:
+def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float, metrics=None) -> np.ndarray:
     """(NE, L+1, G) for one law (unweighted)."""
     from ndpp_tpu.parallel import rows as rows_mod
 
@@ -71,17 +72,19 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         law = prep.extra["law"]
         tile, spans = _tiles(ne, 4096, cfg.device.e_tile)
         pending = []
-        for start, length in spans:
-            e_t = unionize.pad_to(prep.e[start : start + length], tile)
-            th_t = unionize.pad_to(prep.extra["theta"][start : start + length], tile)
-            b_t = unionize.pad_to(prep.extra["b"][start : start + length], tile)
-            frac = analytic_group_fractions(
-                rows_mod.put_rows(e_t), rows_mod.put_rows(th_t), rows_mod.put_rows(b_t),
-                prep.extra["u"], bounds, law, clamp,
-            )
-            pending.append((start, length, frac))
-        for start, length, frac in pending:
-            out[start : start + length, 0, :] = np.asarray(frac)[:length]
+        with RunMetrics.span_or_null(metrics, "dispatch.continuum"):
+            for start, length in spans:
+                e_t = unionize.pad_to(prep.e[start : start + length], tile)
+                th_t = unionize.pad_to(prep.extra["theta"][start : start + length], tile)
+                b_t = unionize.pad_to(prep.extra["b"][start : start + length], tile)
+                frac = analytic_group_fractions(
+                    rows_mod.put_rows(e_t), rows_mod.put_rows(th_t), rows_mod.put_rows(b_t),
+                    prep.extra["u"], bounds, law, clamp,
+                )
+                pending.append((start, length, frac))
+        with RunMetrics.span_or_null(metrics, "wait.continuum"):
+            for start, length, frac in pending:
+                out[start : start + length, 0, :] = np.asarray(frac)[:length]
         return out  # isotropic lab: moments l >= 1 vanish
 
     if prep.kind == "lab-tabular":
@@ -91,7 +94,8 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
         mm = unionize.pad_to(prep.mom_knots, k16, axis=1)
         tile, spans = _tiles(ne, 1024, cfg.device.e_tile)
         pending = []
-        for start, length in spans:
+        with RunMetrics.span_or_null(metrics, "dispatch.continuum"):
+          for start, length in spans:
             res = lab_tabular_moments(
                 rows_mod.put_rows(unionize.pad_to(kn[start : start + length], tile)),
                 rows_mod.put_rows(unionize.pad_to(pd[start : start + length], tile)),
@@ -102,8 +106,9 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 clamp,
             )
             pending.append((start, length, res))
-        for start, length, res in pending:
-            out[start : start + length] = np.asarray(res)[:length]
+        with RunMetrics.span_or_null(metrics, "wait.continuum"):
+            for start, length, res in pending:
+                out[start : start + length] = np.asarray(res)[:length]
         _add_discrete_lines(out, prep, gs, cfg)
         return out
 
@@ -131,10 +136,12 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 muk = prep.mu_knots
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
-            ksel = _window_knot_bound(prep.e, awr, kn)
+            with RunMetrics.span_or_null(metrics, "prep.continuum_window"):
+                ksel = _window_knot_bound(prep.e, awr, kn)
         tile, spans = _tiles(ne, _CONTINUUM_TILE, cfg.device.e_tile)
         pending = []
-        for start, length in spans:
+        with RunMetrics.span_or_null(metrics, "dispatch.continuum"):
+          for start, length in spans:
             sl = slice(start, start + length)
             res = cm_moments_pointwise(
                 rows_mod.put_rows(unionize.pad_to(prep.e[sl], tile)),
@@ -163,8 +170,9 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float) -> np.ndar
                 "lagrange",  # G-independent outer panels (ops/panelsplit)
             )
             pending.append((sl, length, res))
-        for sl, length, res in pending:
-            out[sl] = np.asarray(res)[:length]
+        with RunMetrics.span_or_null(metrics, "wait.continuum"):
+            for sl, length, res in pending:
+                out[sl] = np.asarray(res)[:length]
         return out
 
     raise NdppError(f"unknown continuum preparation kind {prep.kind!r}")
@@ -207,9 +215,10 @@ def continuum_reaction_moments(nuc, rxn, e_grid, gs, order, cfg, metrics=None) -
         raise AceFormatError(f"MT={rxn.mt}: no energy distribution")
     total = np.zeros((e_grid.size, order + 1, gs.ng))
     for ed in rxn.energy_dists:
-        prep = prepare_continuum(nuc, rxn, ed, e_grid, order)
+        with RunMetrics.span_or_null(metrics, "prep.continuum"):
+            prep = prepare_continuum(nuc, rxn, ed, e_grid, order)
         if metrics is not None and prep.padded_elements:
             metrics.record_padding(prep.real_elements, prep.padded_elements)
-        mom = _law_moments(prep, gs, order, cfg, nuc.awr)
+        mom = _law_moments(prep, gs, order, cfg, nuc.awr, metrics)
         total += prep.applicability[:, None, None] * mom
     return total

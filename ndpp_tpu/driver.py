@@ -77,7 +77,8 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     """
     from ndpp_tpu.parallel import rows as rows_mod
 
-    prep = prepare_twobody(nuc, rxn, e_grid)
+    with RunMetrics.span_or_null(metrics, "prep.twobody"):
+        prep = prepare_twobody(nuc, rxn, e_grid)
     if metrics is not None:
         metrics.record_padding(prep.real_elements, prep.padded_elements)
     ne = e_grid.size
@@ -110,17 +111,19 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     # dispatch every tile asynchronously, then gather: one tunnel round-trip
     # instead of one per tile
     pending = []
-    for start, length in unionize.tile_indices(ne, tile):
-        e_t = unionize.pad_to(prep.e[start : start + length], tile)
-        k_t = unionize.pad_to(knots[start : start + length], tile)
-        p_t = unionize.pad_to(pdf[start : start + length], tile)
-        res = kernel_fn(
-            rows_mod.put_rows(e_t), rows_mod.put_rows(k_t), rows_mod.put_rows(p_t),
-            b, prep.c1, prep.c2, prep.awr, order, nq, clamp,
-        )
-        pending.append((start, length, res))
-    for start, length, res in pending:
-        out[start : start + length] = np.asarray(res)[:length]
+    with RunMetrics.span_or_null(metrics, "dispatch.twobody"):
+        for start, length in unionize.tile_indices(ne, tile):
+            e_t = unionize.pad_to(prep.e[start : start + length], tile)
+            k_t = unionize.pad_to(knots[start : start + length], tile)
+            p_t = unionize.pad_to(pdf[start : start + length], tile)
+            res = kernel_fn(
+                rows_mod.put_rows(e_t), rows_mod.put_rows(k_t), rows_mod.put_rows(p_t),
+                b, prep.c1, prep.c2, prep.awr, order, nq, clamp,
+            )
+            pending.append((start, length, res))
+    with RunMetrics.span_or_null(metrics, "wait.twobody"):
+        for start, length, res in pending:
+            out[start : start + length] = np.asarray(res)[:length]
     return out
 
 
@@ -144,12 +147,13 @@ def scattering_moments(
     order = cfg.legendre_order
     tile = min(cfg.device.e_tile, ne)
     sigma_by_rxn = {}
-    for rxn in rxns:
-        sig = nuc.sigma_on_grid(rxn)
-        if e_grid.size != nuc.energy.size or not np.array_equal(e_grid, nuc.energy):
-            sig = np.interp(e_grid, nuc.energy, sig)
-        sigma_by_rxn[rxn.mt] = sig
-    sigma_s = np.sum([sigma_by_rxn[r.mt] for r in rxns], axis=0)
+    with RunMetrics.span_or_null(metrics, "prep.sigma"):
+        for rxn in rxns:
+            sig = nuc.sigma_on_grid(rxn)
+            if e_grid.size != nuc.energy.size or not np.array_equal(e_grid, nuc.energy):
+                sig = np.interp(e_grid, nuc.energy, sig)
+            sigma_by_rxn[rxn.mt] = sig
+        sigma_s = np.sum([sigma_by_rxn[r.mt] for r in rxns], axis=0)
     accum = np.zeros((ne, order + 1, gs.ng))
     for rxn in rxns:
         if is_twobody(rxn):
@@ -260,7 +264,17 @@ def _process_with_oom_retry(nuc, gs, cfg, metrics, sab_tables):
                     "%s: device OOM — retrying with e_tile=%d", nuc.name, try_cfg.device.e_tile
                 )
                 continue
-            raise NdppError(f"device runtime failure for {nuc.name}: {msg[:500]}") from e
+            # the quarantine reason preserves the ORIGINAL error class (msg
+            # leads with type(e).__name__) and says whether OOM-shaped
+            # retries were attempted, so a compiler bug misclassified as OOM
+            # is still diagnosable from the quarantine record
+            label = (
+                f"device failure (OOM-shaped, after {attempt} tile-halving retr"
+                f"{'y' if attempt == 1 else 'ies'}, e_tile={try_cfg.device.e_tile})"
+                if oom
+                else "device runtime failure"
+            )
+            raise NdppError(f"{label} for {nuc.name}: {msg[:500]}") from e
     raise AssertionError("unreachable")
 
 
@@ -341,17 +355,35 @@ def run(cfg: RunConfig) -> RunMetrics:
                 nm = todo[j]
                 if nm not in futures:
                     futures[nm] = pool.submit(_parse, nm)
+            write_phase = False
             try:
+                snap = metrics.timers.snapshot()
+                t_nuc = time.perf_counter()
                 with timers.span("parse"):
                     nuc = futures.pop(name).result()
                 with timers.span("compute"):
                     res = _process_with_oom_retry(nuc, gs, cfg, metrics, _sab_tables(name))
+                # the write phase is OUTSIDE the quarantine catch: a writer
+                # fault (disk full, permissions) is a systemic infrastructure
+                # failure, not a per-nuclide data problem — abort the sweep
+                # instead of misreporting N independent quarantines
+                write_phase = True
                 with timers.span("write"):
                     for w in writers:
                         w.write_nuclide(res)
+                write_phase = False
                 metrics.nuclides_done += 1
-                log.info("done %s (NE=%d)", name, res.energy.size)
+                sub = PhaseTimers.delta(snap, metrics.timers.snapshot())
+                log.info(
+                    "done %s (NE=%d) %.2fs %s",
+                    name,
+                    res.energy.size,
+                    time.perf_counter() - t_nuc,
+                    " ".join(f"{k}={v:.2f}" for k, v in sub.items()),
+                )
             except Exception as e:
+                if write_phase:
+                    raise  # writer faults are systemic; see comment above
                 # quarantine this nuclide, keep sweeping (SURVEY.md section
                 # 5): the sweep is a bag of independent tasks, so ANY
                 # per-nuclide failure — a typed NdppError OR an unexpected
@@ -368,6 +400,8 @@ def run(cfg: RunConfig) -> RunMetrics:
             jax.profiler.stop_trace()
         pool.shutdown(wait=False, cancel_futures=True)
         metrics.wall_seconds = time.perf_counter() - t0
+        for k, v in metrics.timers.report().items():
+            timers.add(k, v)
         metrics.phase_seconds = timers.report()
         metrics.capture_device_mem()
         for w in writers:

@@ -19,6 +19,7 @@ import numpy as np
 from ndpp_tpu.config import BOLTZMANN_EV_PER_K
 from ndpp_tpu.ops.freegas import freegas_moments_sab
 from ndpp_tpu.utils import log as log_mod
+from ndpp_tpu.utils.metrics import RunMetrics
 
 
 def doppler_sigma_ratio(e: np.ndarray, awr: float, kt: float) -> np.ndarray:
@@ -55,17 +56,18 @@ def apply_freegas(
     order = scatter.shape[2] - 1
 
     # elastic weight on the grid (same weighting convention as the 0K combine)
-    rxns = nuc.scattering_reactions(include_fission=False)
-    sigma_el = nuc.sigma_el
-    if not np.array_equal(e_grid, nuc.energy):
-        sigma_el = np.interp(e_grid, nuc.energy, sigma_el)
-    sigma_s = np.zeros_like(e_grid)
-    for rxn in rxns:
-        sig = nuc.sigma_on_grid(rxn)
+    with RunMetrics.span_or_null(metrics, "prep.freegas"):
+        rxns = nuc.scattering_reactions(include_fission=False)
+        sigma_el = nuc.sigma_el
         if not np.array_equal(e_grid, nuc.energy):
-            sig = np.interp(e_grid, nuc.energy, sig)
-        sigma_s += sig
-    w_el = np.where(sigma_s > 0, sigma_el / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
+            sigma_el = np.interp(e_grid, nuc.energy, sigma_el)
+        sigma_s = np.zeros_like(e_grid)
+        for rxn in rxns:
+            sig = nuc.sigma_on_grid(rxn)
+            if not np.array_equal(e_grid, nuc.energy):
+                sig = np.interp(e_grid, nuc.energy, sig)
+            sigma_s += sig
+        w_el = np.where(sigma_s > 0, sigma_el / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
 
     from ndpp_tpu.host import unionize
 
@@ -148,20 +150,22 @@ def apply_freegas(
             if cfg.clamp_outside:
                 ffg[st : st + ln, :, 0] += arr[:, :, 0]
 
-        for start, length in unionize.tile_indices(ns, tile):
-            e_t = unionize.pad_to(e_sub[start : start + length], tile)
-            part = freegas_moments_sab(
-                rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order
-            )
-            pending.append((start, length, part))
-            if len(pending) >= 2:  # bound the queued device work
-                store(*pending.pop(0))
-        for start, length, part in pending:
-            store(start, length, part)
+        with RunMetrics.span_or_null(metrics, "dispatch.freegas"):
+            for start, length in unionize.tile_indices(ns, tile):
+                e_t = unionize.pad_to(e_sub[start : start + length], tile)
+                part = freegas_moments_sab(
+                    rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order
+                )
+                pending.append((start, length, part))
+                if len(pending) >= 2:  # bound the queued device work
+                    store(*pending.pop(0))
+        with RunMetrics.span_or_null(metrics, "wait.freegas"):
+            for start, length, part in pending:
+                store(start, length, part)
 
         # 0K elastic moments on the same rows (shape-consistent subtraction)
         f0k = driver_mod._tiled_twobody(
-            nuc, nuc.elastic, e_sub, gs.bounds, order, cfg.device.quad_points, tile, None, cfg.clamp_outside
+            nuc, nuc.elastic, e_sub, gs.bounds, order, cfg.device.quad_points, tile, metrics, cfg.clamp_outside
         )
         def to_rows(arr):
             """Subgrid -> full rows (both free-gas and 0K elastic kernel

@@ -132,6 +132,16 @@ class AsciiLibraryWriter:
     ):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._complete: set[str] = set()
+        if resume and self.path.exists():
+            # Resume bookkeeping: a nuclide is complete iff its block closed
+            # with the matching end_nuclide marker (the ASCII analog of the
+            # HDF5 'complete' attribute). Blocks may repeat across resumed
+            # appends; the reader's last-block-wins semantics makes that safe.
+            with open(self.path) as fh:
+                for line in fh:
+                    if line.startswith("end_nuclide "):
+                        self._complete.add(line.split()[1])
         self.fh = open(self.path, "a" if resume and self.path.exists() else "w")
         if self.fh.tell() == 0:
             w = self.fh.write
@@ -152,11 +162,12 @@ class AsciiLibraryWriter:
             self.fh.write("".join(f"{v:26.17E}" for v in flat[i : i + 4]) + "\n")
 
     def is_complete(self, name: str) -> bool:
-        return False  # ASCII stream is append-only; resume bookkeeping lives in the HDF5 twin
+        return name in self._complete
 
     def write_nuclide(self, res: NuclideResult) -> None:
         w = self.fh.write
-        w(f"nuclide {res.name} zaid {res.zaid} awr {res.awr:.6f} kT_eV {res.kT:.6e}\n")
+        # full-precision scalars: the ASCII twin is a lossless mirror (1.1+)
+        w(f"nuclide {res.name} zaid {res.zaid} awr {res.awr:.17E} kT_eV {res.kT:.17E}\n")
         w(f"energy {res.energy.size}\n")
         self._write_array(res.energy)
         w(f"temperatures {res.temperatures.size}\n")
@@ -172,8 +183,13 @@ class AsciiLibraryWriter:
                 val = np.asarray(val)
                 w(f"{key} " + " ".join(str(s) for s in val.shape) + "\n")
                 self._write_array(val)
+        for k, v in res.extra.items():
+            v = np.atleast_1d(np.asarray(v, dtype=np.float64))
+            w(f"extra/{k} " + " ".join(str(s) for s in v.shape) + "\n")
+            self._write_array(v)
         w(f"end_nuclide {res.name}\n")
         self.fh.flush()
+        self._complete.add(res.name)
 
     def finalize(self, metrics: dict | None = None) -> None:
         if metrics is not None:
@@ -229,39 +245,59 @@ def read_ascii(path: str | Path) -> tuple[dict[str, np.ndarray], dict]:
         raise ValueError(f"not an NDPP-TPU ASCII library: {path}")
     attrs["format_version"] = header.split()[-1]
     nuclide: str | None = None
-    for line in lines:
-        tok = line.split()
-        if not tok:
-            continue
-        key = tok[0]
-        if key == "generator":
-            attrs["generator"] = " ".join(tok[1:])
-        elif key == "legendre_order":
-            attrs["legendre_order"] = int(tok[1])
-        elif key == "temperatures" and nuclide is None:
-            datasets["/temperatures"] = np.asarray(tok[2:], dtype=np.float64)
-        elif key == "group_structure":
-            attrs["group_structure_name"] = tok[1]
-            ng = int(tok[2])
-            datasets["/group_structure/bounds"] = read_values(ng + 1)
-        elif key == "nuclide":
-            nuclide = tok[1]
-            attrs[f"{nuclide}/zaid"] = int(tok[3])
-            attrs[f"{nuclide}/awr"] = float(tok[5])
-            attrs[f"{nuclide}/kT_eV"] = float(tok[7])
-        elif key == "end_nuclide":
-            nuclide = None
-        elif key == "metrics":
-            attrs["metrics"] = json.loads(line[len("metrics ") :])
-        elif key == "end_library":
-            break
-        else:
-            # generic per-nuclide block: "<name> <d0> [d1 ...]" + values
-            if nuclide is None:
-                raise ValueError(f"ASCII library: unexpected line outside nuclide block: {line!r}")
-            shape = tuple(int(d) for d in tok[1:])
-            arr = read_values(int(np.prod(shape))).reshape(shape)
-            datasets[f"/nuclides/{nuclide}/{key}"] = arr
+    # Per-nuclide blocks buffer until their end_nuclide marker commits them:
+    # a resumed run appends past a prior finalize()'s end_library (a SOFT
+    # marker), may re-write a nuclide's block (last complete block wins),
+    # and may leave a truncated tail after a crash (dropped, never merged).
+    pending: dict[str, np.ndarray] = {}
+    pending_attrs: dict = {}
+    try:
+        for line in lines:
+            tok = line.split()
+            if not tok:
+                continue
+            key = tok[0]
+            if key == "generator":
+                attrs["generator"] = " ".join(tok[1:])
+            elif key == "legendre_order":
+                attrs["legendre_order"] = int(tok[1])
+            elif key == "temperatures" and nuclide is None:
+                datasets["/temperatures"] = np.asarray(tok[2:], dtype=np.float64)
+            elif key == "group_structure":
+                attrs["group_structure_name"] = tok[1]
+                ng = int(tok[2])
+                datasets["/group_structure/bounds"] = read_values(ng + 1)
+            elif key == "nuclide":
+                nuclide = tok[1]
+                pending = {}
+                pending_attrs = {
+                    f"{nuclide}/zaid": int(tok[3]),
+                    f"{nuclide}/awr": float(tok[5]),
+                    f"{nuclide}/kT_eV": float(tok[7]),
+                }
+            elif key == "end_nuclide":
+                if nuclide is not None:
+                    # drop any stale datasets from an earlier block of the
+                    # same nuclide before committing the new one
+                    prefix = f"/nuclides/{nuclide}/"
+                    for stale in [k for k in datasets if k.startswith(prefix)]:
+                        del datasets[stale]
+                    datasets.update(pending)
+                    attrs.update(pending_attrs)
+                nuclide = None
+            elif key == "metrics":
+                attrs["metrics"] = json.loads(line[len("metrics ") :])
+            elif key == "end_library":
+                nuclide = None  # soft marker: resumed appends continue past it
+            else:
+                # generic per-nuclide block: "<name> <d0> [d1 ...]" + values
+                if nuclide is None:
+                    raise ValueError(f"ASCII library: unexpected line outside nuclide block: {line!r}")
+                shape = tuple(int(d) for d in tok[1:])
+                arr = read_values(int(np.prod(shape))).reshape(shape)
+                pending[f"/nuclides/{nuclide}/{key}"] = arr
+    except StopIteration:
+        pass  # truncated tail (crash mid-block): committed blocks stand
     return datasets, attrs
 
 

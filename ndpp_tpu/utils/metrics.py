@@ -12,7 +12,10 @@ Key observables:
 from __future__ import annotations
 
 import json
+from contextlib import nullcontext
 from dataclasses import dataclass, field
+
+from ndpp_tpu.utils.timer import PhaseTimers
 
 
 @dataclass
@@ -25,6 +28,17 @@ class RunMetrics:
     padding_real_elements: int = 0
     padding_total_elements: int = 0
     device_mem_highwater_bytes: int | None = None
+    # Fine-grained sub-phase spans (prep/dispatch/device-wait per kernel
+    # family), merged into phase_seconds at run end. Drivers record through
+    # RunMetrics.span so a None metrics costs nothing.
+    timers: PhaseTimers = field(default_factory=PhaseTimers, repr=False)
+
+    def span(self, name: str):
+        return self.timers.span(name)
+
+    @staticmethod
+    def span_or_null(metrics: "RunMetrics | None", name: str):
+        return metrics.timers.span(name) if metrics is not None else nullcontext()
 
     @property
     def moments_per_sec(self) -> float:

@@ -43,6 +43,16 @@ class PhaseTimers:
     def report(self) -> dict[str, float]:
         return dict(sorted(self._elapsed.items(), key=lambda kv: -kv[1]))
 
+    def snapshot(self) -> dict[str, float]:
+        """Copy of the accumulated spans (for per-nuclide deltas)."""
+        return dict(self._elapsed)
+
+    @staticmethod
+    def delta(before: dict[str, float], after: dict[str, float]) -> dict[str, float]:
+        """after - before, dropping ~zero entries; sorted descending."""
+        out = {k: v - before.get(k, 0.0) for k, v in after.items()}
+        return dict(sorted(((k, v) for k, v in out.items() if v > 1e-4), key=lambda kv: -kv[1]))
+
     def pretty(self) -> str:
         lines = ["phase timers (s):"]
         for name, dt in self.report().items():
