@@ -137,7 +137,17 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float, metrics=No
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
             with RunMetrics.span_or_null(metrics, "prep.continuum_window"):
-                ksel = _window_knot_bound(prep.e, awr, kn)
+                # bound on the UNPADDED knots: edge-pad duplicates all sit at
+                # the top of the window and were inflating `need` past the
+                # windowed-path threshold at production shapes (round 3)
+                ksel = _window_knot_bound(prep.e, awr, prep.e_knots)
+                # Exactly TWO compiled classes per knot bucket — windowed at
+                # K_pad/8 or the full-knot path. Each distinct kernel shape
+                # costs minutes on the remote compiler (no persistent cache
+                # for big kernels), so ksel variety is quantized hard; the
+                # window only pays when it is MUCH narrower than the table.
+                kw = kn.shape[1] // 8
+                ksel = kw if 0 < ksel <= kw else 0
         tile, spans = _tiles(ne, _CONTINUUM_TILE, cfg.device.e_tile)
         pending = []
         with RunMetrics.span_or_null(metrics, "dispatch.continuum"):

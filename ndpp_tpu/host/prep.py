@@ -105,6 +105,35 @@ def merge_linlin(
     return knots, out1, out2
 
 
+def angular_panel_blocks(dist: AngularDistribution, e_grid: np.ndarray):
+    """Yield (row_idx, knots, v1, v2, t) per bracketing angular panel.
+
+    All rows in one panel share the merged knot set; the row pdf is
+    `(1-t) v1 + t v2` (UNNORMALIZED — callers divide by the trapezoid
+    norm, itself linear in t). Single-table distributions yield one block
+    with v2 == v1 and t == 0. This is the O(panels) vectorization spine
+    shared by the continuum AND-block payload builders.
+    """
+    es = dist.energies
+    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
+    for p in np.unique(panel_of):
+        idx = np.where(panel_of == p)[0]
+        if es.size == 1:
+            x, y = linlin_rep(dist.tables[0])
+            yield idx, x, y, y, np.zeros(idx.size)
+            continue
+        x1, y1 = linlin_rep(dist.tables[p])
+        x2, y2 = linlin_rep(dist.tables[p + 1])
+        knots, v1, v2 = merge_linlin(x1, y1, x2, y2)
+        denom = es[p + 1] - es[p]
+        t = (
+            np.clip((e_grid[idx] - es[p]) / denom, 0.0, 1.0)
+            if denom > 0
+            else np.zeros(idx.size)
+        )
+        yield idx, knots, v1, v2, t
+
+
 def pdf_at_energy(dist: AngularDistribution, e_ev: float) -> tuple[np.ndarray, np.ndarray]:
     """Exact p(mu|E) as a piecewise-linear (knots, values) pair (oracle + prep share this definition)."""
     es = dist.energies
@@ -154,38 +183,54 @@ class TwoBodyPrepared:
 def prepare_twobody(
     nuc: Nuclide, rxn: Reaction, e_grid: np.ndarray, renormalize: bool = True
 ) -> TwoBodyPrepared:
-    """Bake one two-body reaction's angular data onto the incident grid."""
+    """Bake one two-body reaction's angular data onto the incident grid.
+
+    Panel-vectorized (round 3): all rows bracketed by one angular panel
+    share a merged knot set, so the whole panel's rows are one broadcast
+    `(1-t) v1 + t v2` — host cost is O(panels) python iterations, not
+    O(NE) (the per-row loop was the measured host bottleneck at library
+    scale).
+    """
     if rxn.frame != "cm":
         raise AceFormatError(f"MT={rxn.mt}: two-body law with lab-frame angular data is not physical ACE")
     dist = rxn.angular
     if dist is None:
         dist = AngularDistribution.isotropic(e_grid[0], e_grid[-1])
 
-    rows: list[tuple[np.ndarray, np.ndarray]] = []
     es = dist.energies
+    ne = e_grid.size
     # Group incident energies by bracketing angular panel so each panel's
     # merged knot set is built once.
     panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
-    for p in np.unique(panel_of):
-        sel = panel_of == p
+    panels = np.unique(panel_of)
+    blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # (row_idx, knots, pdf_rows)
+    real = 0
+    for p in panels:
+        idx = np.where(panel_of == p)[0]
         if es.size == 1:
             x, y = linlin_rep(dist.tables[0])
-            for _ in range(int(sel.sum())):
-                rows.append((x, y))
-            continue
-        x1, y1 = linlin_rep(dist.tables[p])
-        x2, y2 = linlin_rep(dist.tables[p + 1])
-        knots, v1, v2 = merge_linlin(x1, y1, x2, y2)
-        denom = es[p + 1] - es[p]
-        if denom > 0:
-            t = np.clip((e_grid[sel] - es[p]) / denom, 0.0, 1.0)
-        else:  # degenerate panel (e.g. isotropic fallback on a 1-point grid)
-            t = np.zeros(int(sel.sum()))
-        for ti in t:
-            rows.append((knots, (1.0 - ti) * v1 + ti * v2))
-    # rows were appended in unique-panel order == ascending e order (panels ascend with e)
-    k_max = max(x.size for x, _ in rows)
-    knots, pdf, real = _pad_rows(rows, k_max)
+            block = np.broadcast_to(y[None, :], (idx.size, y.size))
+        else:
+            x1, y1 = linlin_rep(dist.tables[p])
+            x2, y2 = linlin_rep(dist.tables[p + 1])
+            x, v1, v2 = merge_linlin(x1, y1, x2, y2)
+            denom = es[p + 1] - es[p]
+            if denom > 0:
+                t = np.clip((e_grid[idx] - es[p]) / denom, 0.0, 1.0)
+            else:  # degenerate panel (e.g. isotropic fallback on a 1-point grid)
+                t = np.zeros(idx.size)
+            block = v1[None, :] + t[:, None] * (v2 - v1)[None, :]
+        blocks.append((idx, x, block))
+        real += idx.size * x.size
+    k_max = max(x.size for _, x, _ in blocks)
+    knots = np.empty((ne, k_max))
+    pdf = np.empty((ne, k_max))
+    for idx, x, block in blocks:
+        k = x.size
+        knots[idx, :k] = x[None, :]
+        pdf[idx, :k] = block
+        knots[idx, k:] = x[-1]
+        pdf[idx, k:] = block[:, -1:]
     if renormalize:
         widths = np.diff(knots, axis=1)
         norm = np.sum(0.5 * (pdf[:, 1:] + pdf[:, :-1]) * widths, axis=1, keepdims=True)

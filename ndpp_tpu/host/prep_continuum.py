@@ -36,7 +36,7 @@ from ndpp_tpu.host.ace.records import (
     Reaction,
 )
 from ndpp_tpu.host.angular_moments import kalbach_moments, linlin_moments
-from ndpp_tpu.host.prep import _pad_rows, linlin_rep, merge_linlin
+from ndpp_tpu.host.prep import linlin_rep, merge_linlin
 from ndpp_tpu.utils.errors import AceFormatError
 
 
@@ -134,30 +134,53 @@ def _interp_on_xi(x_src_xi, y_src, xi_query, left_right="right"):
     return _eval_limit(x_src_xi, y_src, xi_query, left_right)
 
 
+@dataclass
+class PanelRows:
+    """One incident panel's shared unit-base structure (panel-vectorized prep).
+
+    All incident rows bracketed by panel p share ONE merged xi knot set;
+    per-row quantities are linear in the bracketing weight t, so whole
+    panels vectorize as `(1-t) v1 + t v2` broadcasts — host prep cost is
+    O(panels), not O(NE) python iterations (round-3; the per-row loops
+    were the measured host bottleneck at library scale).
+    """
+
+    idx: np.ndarray  # (NR,) incident-row indices covered by this panel
+    p: int  # bracketing table index (p, p+1); p == -1 -> single table 0
+    t: np.ndarray  # (NR,) bracketing weights in [0, 1]
+    xi_u: np.ndarray  # (K,) merged unit-base knots (may contain duplicates)
+
+
 def tabular_rows(
     data: LawData, e_grid: np.ndarray, aux_names: tuple[str, ...] = ()
-) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray], list[np.ndarray]]:
+) -> tuple[np.ndarray, np.ndarray, dict[str, np.ndarray], list[PanelRows], int]:
     """Unit-base rows for a law 4/44/61 table on the incident grid.
 
-    Returns (e_knots (NE,K), pdf (NE,K), aux rows dict, xi_rows list) padded.
+    Returns (e_knots (NE,K), pdf (NE,K), aux rows dict, panel list, real
+    element count), all knot-padded to the widest panel.
     """
     es = data.energies
     tables = data.tables
     reps = [_table_linlin(t) for t in tables]
-    rows_x: list[np.ndarray] = []
-    rows_y: list[np.ndarray] = []
-    rows_aux: dict[str, list[np.ndarray]] = {n: [] for n in aux_names}
+    ne = e_grid.size
     panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
     hist_incident = np.isscalar(data.int_law) and int(data.int_law) == interp_mod.HISTOGRAM
+    panels: list[PanelRows] = []
+    blocks: list[tuple[np.ndarray, np.ndarray, dict[str, np.ndarray]]] = []
+    real = 0
     for p in np.unique(panel_of):
-        sel = np.where(panel_of == p)[0]
+        idx = np.where(panel_of == p)[0]
         if es.size == 1:
             x, y, aux = reps[0]
-            for _ in sel:
-                rows_x.append(x)
-                rows_y.append(y)
-                for n in aux_names:
-                    rows_aux[n].append(aux.get(n, np.zeros_like(x)))
+            bx = np.broadcast_to(x[None, :], (idx.size, x.size))
+            by = np.broadcast_to(y[None, :], (idx.size, x.size))
+            baux = {
+                n: np.broadcast_to(aux.get(n, np.zeros_like(x))[None, :], bx.shape)
+                for n in aux_names
+            }
+            panels.append(PanelRows(idx=idx, p=-1, t=np.zeros(idx.size), xi_u=_xi(x)))
+            blocks.append((bx, by, baux))
+            real += bx.size
             continue
         x1, y1, aux1 = reps[p]
         x2, y2, aux2 = reps[p + 1]
@@ -166,7 +189,16 @@ def tabular_rows(
         span2 = x2[-1] - x2[0]
         # union xi knots preserving jumps of either table
         xi_u, y1_u, y2_u = merge_linlin(xi1, y1, xi2, y2)
-        aux_u = {}
+        if hist_incident:
+            t = np.zeros(idx.size)
+        else:
+            t = np.clip((e_grid[idx] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0)
+        lo = x1[0] + t * (x2[0] - x1[0])
+        hi = x1[-1] + t * (x2[-1] - x1[-1])
+        span = hi - lo
+        bx = lo[:, None] + xi_u[None, :] * span[:, None]
+        by = ((1.0 - t)[:, None] * (y1_u * span1)[None, :] + t[:, None] * (y2_u * span2)[None, :]) / span[:, None]
+        baux = {}
         for n in aux_names:
             a1 = aux1.get(n, np.zeros_like(x1))
             a2 = aux2.get(n, np.zeros_like(x2))
@@ -174,25 +206,24 @@ def tabular_rows(
             first_copy[1:] = xi_u[1:] != xi_u[:-1]
             v1 = np.where(first_copy, _interp_on_xi(xi1, a1, xi_u, "left"), _interp_on_xi(xi1, a1, xi_u, "right"))
             v2 = np.where(first_copy, _interp_on_xi(xi2, a2, xi_u, "left"), _interp_on_xi(xi2, a2, xi_u, "right"))
-            aux_u[n] = (v1, v2)
-        for i in sel:
-            e = e_grid[i]
-            t = 0.0 if hist_incident else float(np.clip((e - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
-            lo = x1[0] + t * (x2[0] - x1[0])
-            hi = x1[-1] + t * (x2[-1] - x1[-1])
-            span = hi - lo
-            rows_x.append(lo + xi_u * span)
-            rows_y.append(((1.0 - t) * y1_u * span1 + t * y2_u * span2) / span)
-            for n in aux_names:
-                v1, v2 = aux_u[n]
-                rows_aux[n].append((1.0 - t) * v1 + t * v2)
-    k_max = max(x.size for x in rows_x)
-    e_knots, pdf, real = _pad_rows(list(zip(rows_x, rows_y)), k_max)
-    aux_out = {}
-    for n in aux_names:
-        _, av, _ = _pad_rows(list(zip(rows_x, rows_aux[n])), k_max)
-        aux_out[n] = av
-    return e_knots, pdf, aux_out, rows_x
+            baux[n] = (1.0 - t)[:, None] * v1[None, :] + t[:, None] * v2[None, :]
+        panels.append(PanelRows(idx=idx, p=int(p), t=t, xi_u=xi_u))
+        blocks.append((bx, by, baux))
+        real += bx.size
+    k_max = max(b[0].shape[1] for b in blocks)
+    e_knots = np.empty((ne, k_max))
+    pdf = np.empty((ne, k_max))
+    aux_out = {n: np.empty((ne, k_max)) for n in aux_names}
+    for pr, (bx, by, baux) in zip(panels, blocks):
+        k = bx.shape[1]
+        e_knots[pr.idx, :k] = bx
+        pdf[pr.idx, :k] = by
+        e_knots[pr.idx, k:] = bx[:, -1:]
+        pdf[pr.idx, k:] = by[:, -1:]
+        for n in aux_names:
+            aux_out[n][pr.idx, :k] = baux[n]
+            aux_out[n][pr.idx, k:] = baux[n][:, -1:]
+    return e_knots, pdf, aux_out, panels, real
 
 
 # --------------------------------------------------------------------------
@@ -235,8 +266,12 @@ def _law5_as_tables(data: LawData) -> LawData:
 
 
 def _and_moment_rows(rxn: Reaction, e_grid: np.ndarray, order: int, k: int) -> np.ndarray:
-    """Exact lab angular moments A_l(E) broadcast over the knot axis: (NE, K, L+1)."""
-    from ndpp_tpu.host.prep import pdf_at_energy
+    """Exact lab angular moments A_l(E) broadcast over the knot axis: (NE, K, L+1).
+
+    Panel-vectorized: moments are linear in the pdf values and the
+    trapezoid norm is linear in t, so each angular panel needs TWO
+    linlin_moments calls, not one per incident row."""
+    from ndpp_tpu.host.prep import angular_panel_blocks
 
     ne = e_grid.size
     out = np.empty((ne, order + 1))
@@ -244,29 +279,33 @@ def _and_moment_rows(rxn: Reaction, e_grid: np.ndarray, order: int, k: int) -> n
         out[:] = 0.0
         out[:, 0] = 1.0
     else:
-        for i, e in enumerate(e_grid):
-            x, y = pdf_at_energy(rxn.angular, float(e))
-            norm = np.sum(0.5 * (y[1:] + y[:-1]) * np.diff(x))
-            out[i] = linlin_moments(x, y / norm, order)
+        for idx, x, v1, v2, t in angular_panel_blocks(rxn.angular, e_grid):
+            widths = np.diff(x)
+            n1 = np.sum(0.5 * (v1[1:] + v1[:-1]) * widths)
+            n2 = np.sum(0.5 * (v2[1:] + v2[:-1]) * widths)
+            m1 = linlin_moments(x, v1, order)
+            m2 = linlin_moments(x, v2, order)
+            norm = n1 + t * (n2 - n1)
+            out[idx] = (m1[None, :] + t[:, None] * (m2 - m1)[None, :]) / norm[:, None]
     return np.broadcast_to(out[:, None, :], (ne, k, order + 1)).copy()
 
 
 def _law61_lab_moment_rows(
-    data: LawData, e_grid: np.ndarray, xi_rows: list[np.ndarray], order: int
+    data: LawData, e_grid: np.ndarray, panels: list[PanelRows], order: int, k_max: int
 ) -> np.ndarray:
-    """Per-knot exact lab moments for law 61: M_l at each (row, xi-knot)."""
-    es = data.energies
-    # per-table, per-knot moments (exact)
+    """Per-knot exact lab moments for law 61: M_l at each (row, xi-knot).
+
+    Panel-vectorized: per panel the moments interpolate onto the shared
+    xi union once per bracketing table, then every row is a `(1-t) v1 +
+    t v2` broadcast (moments are linear in the pdf values, which are
+    linear in t)."""
+    # per-table, per-knot moments (exact) at the ORIGINAL table knots
     tab_moms = []
-    tab_xis = []
     for t in data.tables:
         if t.nd:
             t = _continuous_view(t)  # discrete head handled by discrete_line_rows
-        x, _, _ = _table_linlin(t)
-        xi = _xi(x)
-        ang = t.angular or [None] * t.e_out.size
-        # moments at the ORIGINAL table knots (before histogram doubling)
         src_xi = _xi(t.e_out.astype(np.float64))
+        ang = t.angular or [None] * t.e_out.size
         moms = np.empty((t.e_out.size, order + 1))
         for j, at in enumerate(ang):
             if at is None:
@@ -277,26 +316,25 @@ def _law61_lab_moment_rows(
                 norm = np.sum(0.5 * (yy[1:] + yy[:-1]) * np.diff(xx))
                 moms[j] = linlin_moments(xx, yy / norm, order)
         tab_moms.append((src_xi, moms))
-        tab_xis.append(xi)
-    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
-    k_max = max(x.size for x in xi_rows)
+
+    def on_xi(ti: int, xi_u: np.ndarray) -> np.ndarray:
+        src_xi, moms = tab_moms[ti]
+        return np.stack(
+            [np.interp(xi_u, src_xi, moms[:, l]) for l in range(order + 1)], axis=-1
+        )  # (K, L+1)
+
     ne = e_grid.size
     out = np.zeros((ne, k_max, order + 1))
-    for i in range(ne):
-        p = panel_of[i] if es.size > 1 else 0
-        row_x = xi_rows[i]
-        xi_row = _xi(row_x)
-        if es.size == 1:
-            src_xi, moms = tab_moms[0]
-            for l in range(order + 1):
-                out[i, : xi_row.size, l] = np.interp(xi_row, src_xi, moms[:, l])
+    for pr in panels:
+        k = pr.xi_u.size
+        if pr.p < 0:
+            block = np.broadcast_to(on_xi(0, pr.xi_u)[None], (pr.idx.size, k, order + 1))
         else:
-            t = float(np.clip((e_grid[i] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
-            for l in range(order + 1):
-                v1 = np.interp(xi_row, tab_moms[p][0], tab_moms[p][1][:, l])
-                v2 = np.interp(xi_row, tab_moms[p + 1][0], tab_moms[p + 1][1][:, l])
-                out[i, : xi_row.size, l] = (1.0 - t) * v1 + t * v2
-        out[i, xi_row.size :, :] = out[i, xi_row.size - 1, :]
+            v1 = on_xi(pr.p, pr.xi_u)
+            v2 = on_xi(pr.p + 1, pr.xi_u)
+            block = v1[None] + pr.t[:, None, None] * (v2 - v1)[None]
+        out[pr.idx, :k] = block
+        out[pr.idx, k:] = block[:, -1:, :]
     return out
 
 
@@ -375,9 +413,10 @@ def discrete_line_rows(
 
 
 def _law61_cm_mu_payload(
-    data: LawData, e_grid: np.ndarray, xi_rows: list[np.ndarray]
+    data: LawData, e_grid: np.ndarray, panels: list[PanelRows], k_max: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(mu_knots (KMU,), mu_pdf (NE, K, KMU)) for CM law 61: angular pdf on a global mu union."""
+    """(mu_knots (KMU,), mu_pdf (NE, K, KMU)) for CM law 61: angular pdf on a
+    global mu union. Panel-vectorized (see PanelRows)."""
     # global mu union over all tables (piecewise-linear reps)
     all_knots = [np.array([-1.0, 1.0])]
     for t in data.tables:
@@ -387,8 +426,6 @@ def _law61_cm_mu_payload(
                 all_knots.append(x)
     mu_u = np.unique(np.concatenate(all_knots))
     kmu = mu_u.size
-
-    es = data.energies
 
     def table_mu_pdf(t: ContinuousTable) -> tuple[np.ndarray, np.ndarray]:
         """(src_xi (NPo,), pdf (NPo, KMU)) at original knots."""
@@ -405,29 +442,26 @@ def _law61_cm_mu_payload(
         return src_xi, vals
 
     tab_payload = [table_mu_pdf(t) for t in data.tables]
-    panel_of = np.clip(np.searchsorted(es, e_grid, side="right") - 1, 0, max(es.size - 2, 0))
-    ne = e_grid.size
-    k_max = max(x.size for x in xi_rows)
-    out = np.zeros((ne, k_max, kmu))
 
-    def interp_rows(src_xi, vals, xi_row):
-        res = np.empty((xi_row.size, kmu))
+    def on_xi(ti: int, xi_u: np.ndarray) -> np.ndarray:
+        src_xi, vals = tab_payload[ti]
+        res = np.empty((xi_u.size, kmu))
         for m in range(kmu):
-            res[:, m] = np.interp(xi_row, src_xi, vals[:, m])
+            res[:, m] = np.interp(xi_u, src_xi, vals[:, m])
         return res
 
-    for i in range(ne):
-        xi_row = _xi(xi_rows[i])
-        if es.size == 1:
-            res = interp_rows(*tab_payload[0], xi_row)
+    ne = e_grid.size
+    out = np.zeros((ne, k_max, kmu))
+    for pr in panels:
+        k = pr.xi_u.size
+        if pr.p < 0:
+            block = np.broadcast_to(on_xi(0, pr.xi_u)[None], (pr.idx.size, k, kmu))
         else:
-            p = panel_of[i]
-            t = float(np.clip((e_grid[i] - es[p]) / (es[p + 1] - es[p]), 0.0, 1.0))
-            res = (1.0 - t) * interp_rows(*tab_payload[p], xi_row) + t * interp_rows(
-                *tab_payload[p + 1], xi_row
-            )
-        out[i, : xi_row.size] = res
-        out[i, xi_row.size :] = res[-1]
+            v1 = on_xi(pr.p, pr.xi_u)
+            v2 = on_xi(pr.p + 1, pr.xi_u)
+            block = v1[None] + pr.t[:, None, None] * (v2 - v1)[None]
+        out[pr.idx, :k] = block
+        out[pr.idx, k:] = block[:, -1:, :]
     return mu_u, out
 
 
@@ -555,8 +589,7 @@ def prepare_continuum(
         raise AceFormatError(f"continuum law {law} unsupported by the moment engine")
 
     aux_names = ("r", "a") if law == 44 else ()
-    e_knots, pdf, aux, xi_rows = tabular_rows(data, e_grid, aux_names)
-    real = sum(x.size for x in xi_rows)
+    e_knots, pdf, aux, panels, real = tabular_rows(data, e_grid, aux_names)
     prep = ContinuumPrepared(
         kind="",
         e=e_grid,
@@ -579,10 +612,10 @@ def prepare_continuum(
     elif law == 61:
         if frame == "cm":
             prep.kind = "cm-tabular"
-            prep.mu_knots, prep.mu_pdf = _law61_cm_mu_payload(data, e_grid, xi_rows)
+            prep.mu_knots, prep.mu_pdf = _law61_cm_mu_payload(data, e_grid, panels, e_knots.shape[1])
         else:
             prep.kind = "lab-tabular"
-            prep.mom_knots = _law61_lab_moment_rows(data, e_grid, xi_rows, order)
+            prep.mom_knots = _law61_lab_moment_rows(data, e_grid, panels, order, e_knots.shape[1])
     else:  # law 4: separable angular from the AND block (or isotropic)
         if frame == "cm":
             prep.kind = "cm-tabular"
@@ -609,8 +642,11 @@ def prepare_continuum(
 
 
 def _and_payload_cm(rxn: Reaction, e_grid: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """CM angular pdf tensor from the AND block (independent of E'): (KMU,), (NE, K, KMU)."""
-    from ndpp_tpu.host.prep import pdf_at_energy
+    """CM angular pdf tensor from the AND block (independent of E'): (KMU,), (NE, K, KMU).
+
+    Panel-vectorized: pdf values on the global mu union and the trapezoid
+    norm are both linear in t, so each angular panel costs two interps."""
+    from ndpp_tpu.host.prep import angular_panel_blocks
 
     ne = e_grid.size
     if rxn.angular is None:
@@ -621,9 +657,13 @@ def _and_payload_cm(rxn: Reaction, e_grid: np.ndarray, k: int) -> tuple[np.ndarr
         x, _ = linlin_rep(t)
         all_knots.append(x)
     mu_u = np.unique(np.concatenate(all_knots))
-    out = np.empty((ne, k, mu_u.size))
-    for i, e in enumerate(e_grid):
-        x, y = pdf_at_energy(rxn.angular, float(e))
-        norm = np.sum(0.5 * (y[1:] + y[:-1]) * np.diff(x))
-        out[i, :, :] = np.interp(mu_u, x, y / norm)[None, :]
-    return mu_u, out
+    rows = np.empty((ne, mu_u.size))
+    for idx, x, v1, v2, t in angular_panel_blocks(rxn.angular, e_grid):
+        widths = np.diff(x)
+        n1 = np.sum(0.5 * (v1[1:] + v1[:-1]) * widths)
+        n2 = np.sum(0.5 * (v2[1:] + v2[:-1]) * widths)
+        u1 = np.interp(mu_u, x, v1)
+        u2 = np.interp(mu_u, x, v2)
+        norm = n1 + t * (n2 - n1)
+        rows[idx] = (u1[None, :] + t[:, None] * (u2 - u1)[None, :]) / norm[:, None]
+    return mu_u, np.broadcast_to(rows[:, None, :], (ne, k, mu_u.size)).copy()

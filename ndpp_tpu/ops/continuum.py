@@ -338,7 +338,15 @@ def cm_moments_pointwise(
             rr = a_r.reshape(tt, nw, sy)[..., None] + b_r.reshape(tt, nw, sy)[..., None] * x
             aa = a_a.reshape(tt, nw, sy)[..., None] + b_a.reshape(tt, nw, sy)[..., None] * x
             aa = jnp.maximum(aa, 1e-12)
-            pa = aa / (2.0 * jnp.sinh(aa)) * (jnp.cosh(aa * mu) + rr * jnp.sinh(aa * mu))
+            # two-exp form of a/(2 sinh a) (cosh(a mu) + r sinh(a mu)):
+            # cosh + r sinh = ((1+r) e^{a mu} + (1-r) e^{-a mu})/2 and
+            # 2 sinh a = e^a - e^{-a}, so ONE exp pair + reciprocals replaces
+            # three full-tensor transcendentals — the f64-emulated sinh/cosh
+            # were the measured cost center of the production Kalbach
+            # dispatch (~3 transcendentals/eval at ~2.3M evals/row, round 3)
+            ex = jnp.exp(aa * mu)
+            es_ = jnp.exp(aa)
+            pa = aa * ((1.0 + rr) * ex + (1.0 - rr) / ex) / (2.0 * (es_ - 1.0 / es_))
         elif angular == "tabular":
             kmu = mu_knots.shape[0]
             je = _panel_index_rows(e_knots, xm)  # (T, NW*SY)

@@ -8,12 +8,14 @@ metadata for provenance.
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 
 
 class PhaseTimers:
-    """Accumulating named wall-clock spans.
+    """Accumulating named wall-clock spans (thread-safe: the driver's writer
+    thread records spans concurrently with the main pipeline).
 
     >>> t = PhaseTimers()
     >>> with t.span("parse"):
@@ -25,6 +27,7 @@ class PhaseTimers:
     def __init__(self) -> None:
         self._elapsed: dict[str, float] = {}
         self._counts: dict[str, int] = {}
+        self._lock = threading.Lock()
 
     @contextmanager
     def span(self, name: str):
@@ -32,13 +35,12 @@ class PhaseTimers:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
-            self._elapsed[name] = self._elapsed.get(name, 0.0) + dt
-            self._counts[name] = self._counts.get(name, 0) + 1
+            self.add(name, time.perf_counter() - t0)
 
     def add(self, name: str, seconds: float) -> None:
-        self._elapsed[name] = self._elapsed.get(name, 0.0) + seconds
-        self._counts[name] = self._counts.get(name, 0) + 1
+        with self._lock:
+            self._elapsed[name] = self._elapsed.get(name, 0.0) + seconds
+            self._counts[name] = self._counts.get(name, 0) + 1
 
     def report(self) -> dict[str, float]:
         return dict(sorted(self._elapsed.items(), key=lambda kv: -kv[1]))

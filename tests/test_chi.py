@@ -52,7 +52,7 @@ def test_tabular_fractions_vs_oracle():
     nuc = synth.build("u235")
     ed = nuc.reactions[18].energy_dists[0]
     e_sel = np.array([1e2, 5e5, 1.8e7])
-    kn, pdf, _, _ = tabular_rows(ed.data, e_sel)
+    kn, pdf, _, _, _ = tabular_rows(ed.data, e_sel)
     dev = np.asarray(tabular_group_fractions(jnp.asarray(kn), jnp.asarray(pdf), jnp.asarray(G47.bounds)))
     for i in range(e_sel.size):
         ora = tabular_group_fractions_oracle(kn[i], pdf[i], G47.bounds)
