@@ -24,6 +24,19 @@ from ndpp_tpu.version import __version__
 
 
 def _cmd_run(args) -> int:
+    import os
+
+    # Worker processes (parallel.nuclides) and CPU-mesh dryruns pin the
+    # backend BEFORE any jax backend initialization — the axon TPU plugin
+    # force-registers itself and ignores JAX_PLATFORMS, so this must go
+    # through jax.config (the tests/conftest.py mechanism).
+    force_cpu = int(os.environ.get("NDPP_FORCE_CPU_DEVICES", "0") or 0)
+    if force_cpu:
+        import jax
+
+        jax.config.update("jax_num_cpu_devices", force_cpu)
+        jax.config.update("jax_platforms", "cpu")
+
     from ndpp_tpu import driver
 
     cfg = config_mod.load(args.config)
@@ -40,9 +53,23 @@ def _cmd_run(args) -> int:
 
         jax.config.update("jax_debug_nans", True)
         jax.config.update("jax_debug_infs", True)
+    if args.workers > 1:
+        from ndpp_tpu.parallel.nuclides import run_workers
+
+        summary = run_workers(cfg, args.workers, force_cpu_devices=force_cpu)
+        print(json.dumps(summary))
+        return 0 if all(rc == 0 for rc in summary["worker_rcs"].values()) else 3
     metrics = driver.run(cfg)
     print(metrics.json_line())
     return 0 if metrics.nuclides_quarantined == 0 else 3
+
+
+def _cmd_merge(args) -> int:
+    from ndpp_tpu.io.library import merge_libraries
+
+    n = merge_libraries(args.dst, args.srcs)
+    print(f"merged {n} nuclides from {len(args.srcs)} shard(s) -> {args.dst}")
+    return 0
 
 
 def _cmd_fixtures(args) -> int:
@@ -179,7 +206,18 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--resume", action="store_true", help="skip nuclides already complete in the output")
     pr.add_argument("--profile", action="store_true", help="enable device profiling")
     pr.add_argument("--debug-nans", action="store_true", help="raise on any non-finite device value")
+    pr.add_argument(
+        "--workers",
+        type=int,
+        default=1,
+        help="nuclide-axis process parallelism: N shard subprocesses (one per chip) + HDF5 merge",
+    )
     pr.set_defaults(fn=_cmd_run)
+
+    pm = sub.add_parser("merge", help="merge shard HDF5 libraries into one")
+    pm.add_argument("dst")
+    pm.add_argument("srcs", nargs="+")
+    pm.set_defaults(fn=_cmd_merge)
 
     pf = sub.add_parser("fixtures", help="generate the synthetic ACE fixture library")
     pf.add_argument("--out", required=True)

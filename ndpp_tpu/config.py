@@ -99,8 +99,29 @@ class RunConfig:
     output: OutputConfig = field(default_factory=OutputConfig)
     device: DeviceConfig = field(default_factory=DeviceConfig)
     resume: bool = False
+    # Nuclide-axis process parallelism (SURVEY.md section 2, parallelism
+    # row 1): "i/N" makes this run process only every N-th nuclide starting
+    # at i (deterministic round-robin over the todo list). Each shard
+    # writes its own output file; `ndpp merge` combines them. `ndpp run
+    # --workers N` orchestrates N shard subprocesses (one per chip on a
+    # multi-chip host via TPU_VISIBLE_DEVICES) and merges automatically.
+    shard: str = ""
+
+    def shard_of(self) -> tuple[int, int]:
+        """(index, count) parsed from shard; (0, 1) when unsharded."""
+        if not self.shard:
+            return 0, 1
+        i, n = self.shard.split("/")
+        return int(i), int(n)
 
     def validate(self) -> None:
+        if self.shard:
+            try:
+                si, sn = (int(x) for x in self.shard.split("/"))
+            except ValueError as e:
+                raise ConfigError(f"shard must be 'i/N', got {self.shard!r}") from e
+            if not (0 <= si < sn):
+                raise ConfigError(f"shard index out of range: {self.shard!r}")
         if self.legendre_order < 0 or self.legendre_order > 10:
             raise ConfigError(f"legendre_order must be in [0, 10], got {self.legendre_order}")
         if not self.temperatures:
@@ -142,6 +163,7 @@ def _build(data: dict) -> RunConfig:
             for k, v in dict(run.get("sab", {})).items()
         },
         resume=bool(run.get("resume", False)),
+        shard=str(run.get("shard", "")),
     )
     out = data.get("output", {})
     cfg.output = OutputConfig(

@@ -330,6 +330,10 @@ def run(cfg: RunConfig) -> RunMetrics:
     # nuclide; writes happen on the main thread (single writer per file).
     from concurrent.futures import ThreadPoolExecutor
 
+    si, sn = cfg.shard_of()
+    if sn > 1:
+        names = names[si::sn]  # deterministic round-robin nuclide shard
+        log.info("nuclide shard %s: %d of the library's nuclides", cfg.shard, len(names))
     todo = [
         n for n in names if not (cfg.resume and any(w.is_complete(n) for w in writers))
     ]

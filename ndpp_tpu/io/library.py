@@ -214,6 +214,49 @@ def open_writers(cfg, gs: GroupStructure):
     return writers
 
 
+def merge_libraries(dst: str | Path, srcs: list[str | Path]) -> int:
+    """Merge shard HDF5 libraries into one (nuclide-axis process sharding).
+
+    Header/group-structure/temperatures come from the first source and are
+    VALIDATED identical (checksum, bounds, temperatures, order) across all
+    sources; nuclide groups are copied (later sources win on duplicates).
+    Returns the merged nuclide count.
+    """
+    srcs = [Path(s) for s in srcs]
+    if not srcs:
+        raise ValueError("merge_libraries: no source libraries")
+    dst = Path(dst)
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    with h5py.File(dst, "w") as out:
+        n = 0
+        ref_meta = None
+        for k, src in enumerate(srcs):
+            with h5py.File(src, "r") as f:
+                meta = (
+                    f["group_structure"].attrs["checksum"],
+                    tuple(f["group_structure/bounds"][()]),
+                    tuple(f["temperatures"][()]),
+                    int(f.attrs["legendre_order"]),
+                )
+                if k == 0:
+                    ref_meta = meta
+                    for key in ("group_structure", "temperatures", "config"):
+                        f.copy(key, out)
+                    for a in ("format_version", "ndpp_tpu_version", "created", "legendre_order"):
+                        out.attrs[a] = f.attrs[a]
+                    out.create_group("nuclides")
+                elif meta != ref_meta:
+                    raise ValueError(
+                        f"merge_libraries: {src} header (groups/temps/order) differs from {srcs[0]}"
+                    )
+                for name in f["nuclides"]:
+                    if name in out["nuclides"]:
+                        del out[f"nuclides/{name}"]
+                    f.copy(f"nuclides/{name}", out["nuclides"])
+                    n += 1
+    return n
+
+
 # --------------------------------------------------------------------------
 # Readers (ASCII read-back) + format-agnostic comparator
 # (SURVEY.md section 3.5: tolerance-aware comparison tool)

@@ -525,8 +525,8 @@ def freegas_moments_sab(
     kt,
     bounds,
     order: int,
-    nq_u: int = 16,
-    nq_g: int = 10,
+    nq_u: int = 24,
+    nq_g: int = 20,
     chunk: int = 8,
     nfill_y: int = 8,
 ):
@@ -549,6 +549,15 @@ def freegas_moments_sab(
     the quadrature kernels; the outgoing-y axis reuses the panel-split
     machinery (group splits from the GL-node Lagrange interpolant), so the
     total per-row cost is both G-independent and ~100x lighter.
+
+    Defaults nq_u=24, nq_g=20 (round 3, measured at the production
+    257-group window against a 32/24-node refined self): round-2's
+    (16, 10) sat at 3.7e-7 worst absolute (A~1, E=10 eV: high-l Legendre
+    structure across wide y panels is nq_g-limited; deep-thermal heavy-A
+    rows are nq_u-limited). The shipped pair holds the whole (A, E) test
+    matrix at <= ~5e-10 absolute on row-normalized moments AND <= 1e-8
+    per-element relative on every element >= 10% of the row's dominant
+    moment (tests/test_freegas_production.py).
 
     bounds: FINITE covering window, ascending.
     """

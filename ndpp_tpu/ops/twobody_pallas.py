@@ -117,28 +117,34 @@ def twobody_moments_pallas(
     """Full two-body moments with the fused Pallas inner stage (f32 path).
 
     Drop-in signature match for ops.twobody.twobody_moments: the XLA
-    prologue (twobody_panels) and group scatter (twobody_scatter) are
-    shared; only the (row, subinterval, quad, order) accumulation runs in
-    the Pallas kernel. Production gating lives in driver._tiled_twobody
+    prologue (twobody_panels) and group scatter (twobody_scatter) run in
+    f64 exactly like the dd path — edge sorting and breakpoint algebra in
+    f32 both capped accuracy (4e-2 worst rel at the production shape,
+    BENCH_r02 selfcheck) and, being XLA-f64-free, bought nothing: the
+    round-2 f32 path measured SLOWER than dd (9.0e7 vs 1.18e8) because
+    the f32 prologue/epilogue dominated. Only the (row, subinterval,
+    quad, order) accumulation runs in the f32 Pallas kernel (~1e-7 rel).
+    Production gating lives in driver._tiled_twobody
     (device.precision='f32', single chip, TPU backend).
     """
-    f32 = jnp.float32
-    e = e.astype(f32)
-    knots = knots.astype(f32)
-    pdf = pdf.astype(f32)
-    bounds32 = bounds.astype(f32)
+    f64 = jnp.float64
+    e = e.astype(f64)
+    knots = knots.astype(f64)
+    pdf = pdf.astype(f64)
+    bounds64 = bounds.astype(f64)
     mid, half, a_s, b_s, base, slope, ecm, e_safe, ap1, valid_e = twobody_panels(
-        e, knots, pdf, bounds32, c1, c2, awr, clamp
+        e, knots, pdf, bounds64, c1, c2, awr, clamp
     )
     t, s = mid.shape
     s_pad = -(-s // 128) * 128
     t_pad = -(-t // _ROW_TILE) * _ROW_TILE
-    padw = lambda x: jnp.pad(x, ((0, t_pad - t), (0, s_pad - s)))  # noqa: E731
+    f32 = jnp.float32
+    padw = lambda x: jnp.pad(x.astype(f32), ((0, t_pad - t), (0, s_pad - s)))  # noqa: E731
     kin = jnp.stack(
         [base, slope, jnp.sqrt(ecm), jnp.sqrt(e_safe) / ap1], axis=1
     )  # (T, 4)
-    kin = jnp.pad(kin, ((0, t_pad - t), (0, 0)))
+    kin = jnp.pad(kin.astype(f32), ((0, t_pad - t), (0, 0)))
     m = twobody_inner_pallas(
         padw(mid), padw(half), padw(a_s), padw(b_s), kin, order, nq, interpret
-    )[:t, :, :s]  # (T, L+1, S)
-    return twobody_scatter(m, mid, half, base, slope, valid_e, bounds32, clamp)
+    )[:t, :, :s]  # (T, L+1, S) f32
+    return twobody_scatter(m.astype(f64), mid, half, base, slope, valid_e, bounds64, clamp)

@@ -34,65 +34,11 @@ Derivation (free-gas S(alpha,beta); validated against the repo's dense
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
-from numpy.polynomial.legendre import leg2poly
 
 from ndpp_tpu.oracle.freegas_exact import _dmoments_dy_dense
-from ndpp_tpu.ops.legendre import gl_nodes_weights
 
-UCLIP = 8.5
-
-
-def dfl_de(e: float, ep: np.ndarray, awr: float, kt: float, order: int, nq: int = 32) -> np.ndarray:
-    """(NEp, L+1) free-gas dF_l/dE' up to an E-only factor (rows normalize)."""
-    ep = np.atleast_1d(np.asarray(ep, dtype=np.float64))
-    akt = awr * kt
-    beta = (ep - e) / kt
-    c = np.abs(beta)
-    ta = np.abs(np.sqrt(e) - np.sqrt(ep)) / np.sqrt(akt)
-    tb = (np.sqrt(e) + np.sqrt(ep)) / np.sqrt(akt)
-    u_lo = np.maximum((ta - c / np.maximum(ta, 1e-300)) / 2.0, -UCLIP)
-    u_lo = np.where(ta <= 0, -UCLIP, u_lo)  # E' == E: t- = 0 -> u -> -inf
-    u_hi = np.minimum((tb - c / tb) / 2.0, UCLIP)
-    m0 = (e + ep) / (2.0 * np.sqrt(e * ep))
-    m1 = akt / (2.0 * np.sqrt(e * ep))
-
-    xq, wq = gl_nodes_weights(nq)
-    # graded panels around u = 0: sqrt(u^2 + c) has curvature on the scale
-    # sqrt(c), which plain GL under-resolves when beta ~ 0 (the elastic
-    # cusp; at c = 0 the integrand kinks exactly at u = 0). Ladder edges at
-    # +-{1,2,4,8} sqrt(c) (clipped) plus 0 keep every panel analytic.
-    sc = np.sqrt(np.maximum(c, 1e-300))[:, None]
-    lad = np.concatenate([-(2.0 ** np.arange(3, -1, -1)), [0.0], 2.0 ** np.arange(4)])
-    edges = np.clip(sc * lad[None, :], u_lo[:, None], u_hi[:, None])
-    edges = np.sort(
-        np.concatenate([u_lo[:, None], edges, u_hi[:, None]], axis=1), axis=1
-    )  # (NEp, P+1)
-    pm = 0.5 * (edges[:, 1:] + edges[:, :-1])
-    ph = 0.5 * (edges[:, 1:] - edges[:, :-1])
-    u = (pm[:, :, None] + ph[:, :, None] * xq[None, None, :]).reshape(ep.size, -1)
-    w = (ph[:, :, None] * wq[None, None, :]).reshape(ep.size, -1)
-    root = np.sqrt(u * u + c[:, None])
-    t = u + root
-    jac = t / np.maximum(root, 1e-300)
-    gauss = np.exp(-u * u - np.maximum(beta, 0.0)[:, None])
-    mu = m0[:, None] - m1[:, None] * t * t  # in [-1, 1] by construction
-    mu = np.clip(mu, -1.0, 1.0)
-    base = w * jac * gauss  # (NEp, NQ)
-
-    out = np.empty((ep.size, order + 1))
-    p_prev = np.ones_like(mu)
-    out[:, 0] = np.sum(base, axis=1)
-    if order >= 1:
-        p_cur = mu
-        out[:, 1] = np.sum(base * p_cur, axis=1)
-        for l in range(1, order):
-            p_next = ((2 * l + 1) * mu * p_cur - l * p_prev) / (l + 1)
-            p_prev, p_cur = p_cur, p_next
-            out[:, l + 1] = np.sum(base * p_cur, axis=1)
-    return out
+from ndpp_tpu.oracle.freegas_sab import dfl_de  # promoted to the package (round 3)
 
 
 def main():

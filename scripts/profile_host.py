@@ -34,6 +34,7 @@ def main() -> int:
     ap.add_argument("--order", type=int, default=5)
     ap.add_argument("--groups", default="uniform-lethargy-361")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--precision", default="f64", choices=["f64", "dd", "f32"])
     args = ap.parse_args()
 
     from ndpp_tpu import config as config_mod, driver
@@ -61,6 +62,7 @@ def main() -> int:
             temperatures=list(args.temps),
         )
         cfg.output.path = str(workdir / f"profile_{tag}.h5")
+        cfg.device.precision = args.precision
         cfg.validate()
         return cfg
 

@@ -177,6 +177,28 @@ def test_ascii_only_resume(small_library, tmp_path):
     assert not any(k.startswith("/nuclides/8016.80c/") for k in d2)
 
 
+def test_worker_sharded_run_and_merge(small_library, tmp_path):
+    """Nuclide-axis process parallelism (round-2 verdict item 7): two shard
+    worker subprocesses over the 2-nuclide deck, merged output == the
+    single-process library."""
+    from ndpp_tpu.io.library import compare
+    from ndpp_tpu.parallel.nuclides import run_workers
+
+    ref_cfg = _cfg(small_library, tmp_path)
+    ref_cfg.output.path = str(tmp_path / "single.h5")
+    driver.run(ref_cfg)
+
+    cfg = _cfg(small_library, tmp_path)
+    cfg.output.path = str(tmp_path / "merged.h5")
+    summary = run_workers(cfg, 2, force_cpu_devices=2)
+    assert all(rc == 0 for rc in summary["worker_rcs"].values()), summary
+    assert summary["merged_nuclides"] == 2, summary
+    report = compare(cfg.output.path, ref_cfg.output.path, rtol=1e-12)
+    assert report["match"], report["missing"] or {
+        k: v for k, v in report["datasets"].items() if not v.get("ok")
+    }
+
+
 def test_quarantine_malformed_nuclide(small_library, tmp_path):
     cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c", "40090.80k"])
     metrics = driver.run(cfg)
