@@ -82,7 +82,6 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     if metrics is not None:
         metrics.record_padding(prep.real_elements, prep.padded_elements)
     ne = e_grid.size
-    nd = max(rows_mod.ndev(), 1)
     tile = rows_mod.tile_for(ne, tile)  # callers pass cfg.device.e_tile as the cap
     # pow2-bucket the knot axis so reactions with similar table sizes share
     # one compiled kernel (compile >> padded compute; unionize.bucket_pow2)
@@ -95,21 +94,11 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     # auto-partition a pallas custom call over the 'e' mesh): f32 is the
     # ~1e-6 preview path; dd is the double-double inner stage, ~1e-11 vs
     # the f64 XLA kernel (test_pallas) — accuracy-compliant.
-    kernel_fn = twobody_moments
-    if nd == 1:
-        import jax
-
-        if jax.default_backend() != "cpu":
-            if rows_mod.precision() == "f32":
-                from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
-
-                kernel_fn = twobody_moments_pallas
-            elif rows_mod.precision() == "dd":
-                from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
-
-                kernel_fn = twobody_moments_dd
+    kernel_fn = _kernel_fn()
     # dispatch every tile asynchronously, then gather: one tunnel round-trip
-    # instead of one per tile
+    # instead of one per tile. Constants go as per-row arrays so these
+    # dispatches share compiled shapes with the batched path
+    # (_tiled_twobody_multi).
     pending = []
     with RunMetrics.span_or_null(metrics, "dispatch.twobody"):
         for start, length in unionize.tile_indices(ne, tile):
@@ -118,13 +107,101 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
             p_t = unionize.pad_to(pdf[start : start + length], tile)
             res = kernel_fn(
                 rows_mod.put_rows(e_t), rows_mod.put_rows(k_t), rows_mod.put_rows(p_t),
-                b, prep.c1, prep.c2, prep.awr, order, nq, clamp,
+                b,
+                rows_mod.put_rows(np.full(tile, prep.c1)),
+                rows_mod.put_rows(np.full(tile, prep.c2)),
+                rows_mod.put_rows(np.full(tile, prep.awr)),
+                order, nq, clamp,
             )
             pending.append((start, length, res))
     with RunMetrics.span_or_null(metrics, "wait.twobody"):
         for start, length, res in pending:
             out[start : start + length] = np.asarray(res)[:length]
     return out
+
+
+def _kernel_fn():
+    """The two-body kernel for the configured precision (see _tiled_twobody)."""
+    from ndpp_tpu.parallel import rows as rows_mod
+
+    if max(rows_mod.ndev(), 1) == 1:
+        import jax
+
+        if jax.default_backend() != "cpu":
+            if rows_mod.precision() == "f32":
+                from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
+
+                return twobody_moments_pallas
+            if rows_mod.precision() == "dd":
+                from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
+
+                return twobody_moments_dd
+    return twobody_moments
+
+
+def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True):
+    """Batched two-body dispatch: ALL reactions sharing a knot bucket ride
+    ONE row pool (round 3).
+
+    The kernel takes per-row (c1, c2, awr), so rows from different
+    reactions (and different incident sub-grids) concatenate freely; the
+    dispatch count per nuclide drops from per-(reaction x tile) to
+    per-(knot-bucket x tile) — the warm profile showed per-dispatch tunnel
+    latency, not device FLOPs, dominating the two-body wait.
+
+    preps: list of TwoBodyPrepared. Returns a list of (NE_i, L+1, G).
+    """
+    from ndpp_tpu.parallel import rows as rows_mod
+
+    kernel_fn = _kernel_fn()
+    b = rows_mod.put_replicated(bounds)
+    ng = bounds.size - 1
+    buckets: dict[int, list[int]] = {}
+    for i, prep in enumerate(preps):
+        k16 = unionize.bucket_pow2(prep.knots.shape[1])
+        buckets.setdefault(k16, []).append(i)
+        if metrics is not None:
+            metrics.record_padding(prep.real_elements, prep.padded_elements)
+
+    outs: list[np.ndarray | None] = [None] * len(preps)
+    pending = []  # (buffer, start, length, device result)
+    slices = []  # (bucket buffer, prep index, row offset)
+    with RunMetrics.span_or_null(metrics, "dispatch.twobody"):
+        for k16, idxs in sorted(buckets.items()):
+            e_all = np.concatenate([preps[i].e for i in idxs])
+            kn_all = np.concatenate([unionize.pad_to(preps[i].knots, k16, axis=1) for i in idxs])
+            pd_all = np.concatenate([unionize.pad_to(preps[i].pdf, k16, axis=1) for i in idxs])
+            c1_all = np.concatenate([np.full(preps[i].e.size, preps[i].c1) for i in idxs])
+            c2_all = np.concatenate([np.full(preps[i].e.size, preps[i].c2) for i in idxs])
+            aw_all = np.concatenate([np.full(preps[i].e.size, preps[i].awr) for i in idxs])
+            ne = e_all.size
+            tile = rows_mod.tile_for(ne, tile_cap)
+            buf = np.empty((ne, order + 1, ng))
+            off = 0
+            for i in idxs:
+                slices.append((buf, i, off))
+                off += preps[i].e.size
+            for start, length in unionize.tile_indices(ne, tile):
+                sl = slice(start, start + length)
+                res = kernel_fn(
+                    rows_mod.put_rows(unionize.pad_to(e_all[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(kn_all[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(pd_all[sl], tile)),
+                    b,
+                    rows_mod.put_rows(unionize.pad_to(c1_all[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(c2_all[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(aw_all[sl], tile)),
+                    order,
+                    nq,
+                    clamp,
+                )
+                pending.append((buf, start, length, res))
+    with RunMetrics.span_or_null(metrics, "wait.twobody"):
+        for buf, start, length, res in pending:
+            buf[start : start + length] = np.asarray(res)[:length]
+    for buf, i, off in slices:
+        outs[i] = buf[off : off + preps[i].e.size]
+    return outs
 
 
 def scattering_moments(
@@ -155,6 +232,13 @@ def scattering_moments(
             sigma_by_rxn[rxn.mt] = sig
         sigma_s = np.sum([sigma_by_rxn[r.mt] for r in rxns], axis=0)
     accum = np.zeros((ne, order + 1, gs.ng))
+
+    def _accumulate(rxn, i0, mom):
+        yld = reaction_yield(rxn, e_grid, cfg.include_yield)
+        w = np.where(sigma_s > 0, sigma_by_rxn[rxn.mt] / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
+        accum[i0:] += (w * yld)[i0:, None, None] * mom
+
+    tb_items: list[tuple[Reaction, int, object]] = []
     for rxn in rxns:
         # Threshold-row restriction (round 3): a reaction only contributes
         # where sigma_MT > 0, so the kernels run on e_grid[i0:] only (one
@@ -171,17 +255,25 @@ def scattering_moments(
         i0 = max(int(nz[0]) - 1, 0)
         sub = e_grid[i0:]
         if is_twobody(rxn):
-            mom = _tiled_twobody(
-                nuc, rxn, sub, gs.bounds, order, cfg.device.quad_points, tile, metrics, cfg.clamp_outside
-            )
+            # collected, then dispatched as ONE batched row pool per knot
+            # bucket (_tiled_twobody_multi) — per-dispatch latency was the
+            # measured two-body cost, not device FLOPs (round 3)
+            with RunMetrics.span_or_null(metrics, "prep.twobody"):
+                prep = prepare_twobody(nuc, rxn, sub)
+            tb_items.append((rxn, i0, prep))
         else:
             from ndpp_tpu.continuum_driver import continuum_reaction_moments
 
             mom = continuum_reaction_moments(nuc, rxn, sub, gs, order, cfg, metrics)
-        yld = reaction_yield(rxn, e_grid, cfg.include_yield)
-        w = np.where(sigma_s > 0, sigma_by_rxn[rxn.mt] / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
-        accum[i0:] += (w * yld)[i0:, None, None] * mom
-        log.debug("MT=%d moments done (%d/%d rows)", rxn.mt, sub.size, ne)
+            _accumulate(rxn, i0, mom)
+        log.debug("MT=%d queued/done (%d/%d rows)", rxn.mt, sub.size, ne)
+    if tb_items:
+        outs = _tiled_twobody_multi(
+            [p for _, _, p in tb_items], gs.bounds, order, cfg.device.quad_points,
+            tile, metrics, cfg.clamp_outside,
+        )
+        for (rxn, i0, _), mom in zip(tb_items, outs):
+            _accumulate(rxn, i0, mom)
     return accum, sigma_s
 
 

@@ -71,6 +71,14 @@ def apply_freegas(
 
     from ndpp_tpu.host import unionize
 
+    # Pass 1 (round 3): dispatch EVERY temperature's scattering-law tiles
+    # and prepare every 0K-elastic row set up front; pass 2 waits and
+    # combines. Cross-temperature batching keeps the device queue full and
+    # lets the 0K elastic rows of all temperatures ride ONE batched
+    # two-body dispatch (driver._tiled_twobody_multi) — per-dispatch
+    # latency, not FLOPs, dominated the warm free-gas cost.
+    plans = []  # (k, rows, sub_idx, e_sub, w, ffg, pending)
+    zero_k_preps = []
     for k, temp_k in enumerate(cfg.temperatures):
         kt = BOLTZMANN_EV_PER_K * temp_k
         cutoff = cfg.thermal_cutoff_kt * kt
@@ -144,12 +152,6 @@ def apply_freegas(
         bw = np.concatenate([[0.0], gs.bounds[: w + 1]])
         bounds_pw = rows_mod.put_replicated(bw)
 
-        def store(st, ln, pt):
-            arr = np.asarray(pt)[:ln]  # (ln, L+1, w+1): [catch, g0..g_{w-1}]
-            ffg[st : st + ln, :, :w] = arr[:, :, 1:]
-            if cfg.clamp_outside:
-                ffg[st : st + ln, :, 0] += arr[:, :, 0]
-
         with RunMetrics.span_or_null(metrics, "dispatch.freegas"):
             for start, length in unionize.tile_indices(ns, tile):
                 e_t = unionize.pad_to(e_sub[start : start + length], tile)
@@ -157,16 +159,32 @@ def apply_freegas(
                     rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order
                 )
                 pending.append((start, length, part))
-                if len(pending) >= 2:  # bound the queued device work
-                    store(*pending.pop(0))
+        from ndpp_tpu.host.prep import prepare_twobody
+
+        with RunMetrics.span_or_null(metrics, "prep.twobody"):
+            zero_k_preps.append(prepare_twobody(nuc, nuc.elastic, e_sub))
+        plans.append((k, kt, rows, sub_idx, e_sub, w, ffg, pending))
+
+    if not plans:
+        return scatter
+
+    # batched 0K elastic for ALL temperatures (one dispatch set)
+    f0k_all = driver_mod._tiled_twobody_multi(
+        zero_k_preps, gs.bounds, order, cfg.device.quad_points, 256, metrics, cfg.clamp_outside
+    )
+
+    # Pass 2: wait on the scattering-law tiles and combine per temperature
+    for (k, kt, rows, sub_idx, e_sub, w, ffg, pending), f0k in zip(plans, f0k_all):
+        def store(st, ln, pt):
+            arr = np.asarray(pt)[:ln]  # (ln, L+1, w+1): [catch, g0..g_{w-1}]
+            ffg[st : st + ln, :, :w] = arr[:, :, 1:]
+            if cfg.clamp_outside:
+                ffg[st : st + ln, :, 0] += arr[:, :, 0]
+
         with RunMetrics.span_or_null(metrics, "wait.freegas"):
             for start, length, part in pending:
                 store(start, length, part)
 
-        # 0K elastic moments on the same rows (shape-consistent subtraction)
-        f0k = driver_mod._tiled_twobody(
-            nuc, nuc.elastic, e_sub, gs.bounds, order, cfg.device.quad_points, tile, metrics, cfg.clamp_outside
-        )
         def to_rows(arr):
             """Subgrid -> full rows (both free-gas and 0K elastic kernel
             SHAPES are smooth in E; unionize.interp_rows_loglin)."""
@@ -201,7 +219,7 @@ def apply_freegas(
         if metrics is not None:
             metrics.moments_computed += ffg.size
         log.debug(
-            "free-gas: %s T=%.1fK replaced %d rows below %.3g eV (window %d/%d groups)",
-            nuc.name, temp_k, n_rows, cutoff, w, gs.ng,
+            "free-gas: %s kT=%.3g eV replaced %d rows (window %d/%d groups)",
+            nuc.name, kt, e_sub.size, w, gs.ng,
         )
     return scatter
