@@ -35,6 +35,7 @@ def main() -> int:
     ap.add_argument("--groups", default="uniform-lethargy-361")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--precision", default="f64", choices=["f64", "dd", "f32"])
+    ap.add_argument("--e-tile", type=int, default=0, help="override device.e_tile (0 = default)")
     args = ap.parse_args()
 
     from ndpp_tpu import config as config_mod, driver
@@ -63,6 +64,8 @@ def main() -> int:
         )
         cfg.output.path = str(workdir / f"profile_{tag}.h5")
         cfg.device.precision = args.precision
+        if args.e_tile:
+            cfg.device.e_tile = args.e_tile
         cfg.validate()
         return cfg
 
