@@ -70,7 +70,15 @@ def lagrange_cumulants(edges, pmid_p, phalf_p, gvals, wg, boundaries, npan: int,
     # TPU-emulated f64 (ops/dd.py range caveat), giving 0/0 NaN
     t_b = jnp.clip((b - mid_b) / jnp.maximum(half_b, 1e-30), -1.0, 1.0)
     acoef = jnp.asarray(lagrange_antiderivative_coeffs(nq), dtype=dtype)  # (NQ, NQ+1)
-    tpow = t_b[..., None] ** jnp.arange(nq + 1, dtype=dtype)  # (T, NB, NQ+1)
+    # powers by ITERATED MULTIPLICATION, not float `**`: XLA's f64-emulated
+    # pow on TPU routes negative bases through exp/log, returning NaN for
+    # t_b < 0 at boundaries that sit in the lower half of their panel
+    # (round-3 regression hunt: top-group NaNs on every cm-continuum
+    # nuclide; CPU f64 pow has an integer fast path and was clean)
+    pows = [jnp.ones_like(t_b)]
+    for _ in range(nq):
+        pows.append(pows[-1] * t_b)
+    tpow = jnp.stack(pows, axis=-1)  # (T, NB, NQ+1)
     aq = jnp.einsum("tgk,qk->tgq", tpow, acoef)  # A_q(t_b)
     partial = half_b[..., None] * jnp.einsum("tgq,tgql->tgl", aq, nodes_b)
     return prefix_b + partial
