@@ -100,17 +100,24 @@ def put_replicated(arr):
 
 
 def tile_for(n: int, cap: int, e_tile: int = 512) -> int:
-    """Rows per dispatch: one pow2 kernel tile (cap-bounded) per device.
+    """Rows per dispatch: one canonical kernel tile (cap-bounded) per device.
 
     `cap` is each kernel family's default row budget and SCALES with
     cfg.device.e_tile relative to its 512 default, so the driver's
     device-OOM retry (which halves e_tile) shrinks every kernel family's
     dispatch shape, not just the two-body path.
+
+    Tiles come from a THREE-step ladder {cap/16, cap/4, cap} rather than
+    every pow2 (round 3): each distinct compiled row shape costs minutes
+    on the remote compiler while the padding a coarser ladder wastes is
+    microseconds of device time — the round-3 cold sweep measured
+    ~3,200 s of its 6,100 s wall in remote compiles across the pow2
+    shape spread.
     """
     nd = max(ndev(), 1)
     cap = max(16, cap * e_tile // 512)
     per = -(-n // nd)
-    tile = 1
-    while tile < per and tile < cap:
-        tile *= 2
-    return min(tile, cap) * nd
+    for t in (cap // 16, cap // 4, cap):
+        if t >= 16 and per <= t:
+            return t * nd
+    return cap * nd
