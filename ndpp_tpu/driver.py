@@ -546,7 +546,16 @@ def run(cfg: RunConfig) -> RunMetrics:
 
             jax.profiler.stop_trace()
         pool.shutdown(wait=False, cancel_futures=True)
-        write_q.put(None)
+        # Sentinel mirrors _enqueue_write: an unbounded put on the maxsize-2
+        # queue can block forever when the writer thread died on a fault with
+        # two results already buffered (no consumer remains) — poll with a
+        # timeout and stop once the fault is visible or the thread is gone.
+        while writer_thread.is_alive() and not writer_fault:
+            try:
+                write_q.put(None, timeout=1.0)
+                break
+            except queue_mod.Full:
+                continue
         writer_thread.join()
         if writer_fault:
             raise writer_fault[0]

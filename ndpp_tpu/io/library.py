@@ -230,6 +230,7 @@ def merge_libraries(dst: str | Path, srcs: list[str | Path]) -> int:
     with h5py.File(dst, "w") as out:
         n = 0
         ref_meta = None
+        skipped: list[str] = []
         for k, src in enumerate(srcs):
             with h5py.File(src, "r") as f:
                 meta = (
@@ -250,10 +251,67 @@ def merge_libraries(dst: str | Path, srcs: list[str | Path]) -> int:
                         f"merge_libraries: {src} header (groups/temps/order) differs from {srcs[0]}"
                     )
                 for name in f["nuclides"]:
+                    # a crashed worker may leave a partially written group
+                    # (complete=0, datasets possibly missing): merging it
+                    # would poison readers and resume bookkeeping — skip it
+                    if not f[f"nuclides/{name}"].attrs.get("complete", 0):
+                        skipped.append(f"{src.name}:{name}")
+                        continue
                     if name in out["nuclides"]:
                         del out[f"nuclides/{name}"]
                     f.copy(f"nuclides/{name}", out["nuclides"])
                     n += 1
+    if skipped:
+        from ndpp_tpu.utils import log as log_mod
+
+        log_mod.get().warning(
+            "merge_libraries: skipped %d incomplete nuclide group(s): %s", len(skipped), skipped
+        )
+    return n
+
+
+def write_ascii_from_hdf5(h5_path: str | Path, ascii_path: str | Path) -> int:
+    """Write the lossless ASCII twin of an HDF5 library; returns nuclide count.
+
+    Used after a worker-sharded run's HDF5 merge (parallel/nuclides): shard
+    workers always write HDF5 (the merge is HDF5-level), so an 'ascii'/'both'
+    output format is honored by mirroring the merged file. Only complete
+    nuclide groups are written (the ASCII end_nuclide marker means complete).
+    """
+    with h5py.File(h5_path, "r") as f:
+        cfg_json = f["config"][()]
+        if isinstance(cfg_json, bytes):
+            cfg_json = cfg_json.decode()
+        gs = GroupStructure(
+            name=str(f["group_structure"].attrs["name"]), bounds=f["group_structure/bounds"][()]
+        )
+        w = AsciiLibraryWriter(
+            ascii_path, gs, int(f.attrs["legendre_order"]), list(f["temperatures"][()]), cfg_json
+        )
+        n = 0
+        for name in f["nuclides"]:
+            g = f[f"nuclides/{name}"]
+            if not g.attrs.get("complete", 0):
+                continue
+            res = NuclideResult(
+                name=name,
+                zaid=int(g.attrs["zaid"]),
+                awr=float(g.attrs["awr"]),
+                kT=float(g.attrs["kT_eV"]),
+                energy=g["energy"][()],
+                temperatures=g["temperatures"][()],
+                scatter=g["scatter"][()],
+                sigma_scatter=g["sigma_scatter"][()],
+                **{k: g[k][()] for k in _OPTIONAL_SETS if k in g},
+                extra={k: g[f"extra/{k}"][()] for k in g["extra"]} if "extra" in g else {},
+            )
+            w.write_nuclide(res)
+            n += 1
+        metrics = None
+        if "metrics" in f:
+            m = f["metrics"][()]
+            metrics = json.loads(m.decode() if isinstance(m, bytes) else m)
+        w.finalize(metrics)
     return n
 
 
@@ -339,8 +397,12 @@ def read_ascii(path: str | Path) -> tuple[dict[str, np.ndarray], dict]:
                 shape = tuple(int(d) for d in tok[1:])
                 arr = read_values(int(np.prod(shape))).reshape(shape)
                 pending[f"/nuclides/{nuclide}/{key}"] = arr
-    except StopIteration:
-        pass  # truncated tail (crash mid-block): committed blocks stand
+    except (StopIteration, ValueError):
+        # Truncated tail (crash mid-block OR mid-value-line — a partial
+        # float token like '1.2345E' raises ValueError in read_values):
+        # committed blocks stand, the incomplete block is dropped, per the
+        # format-1.2 promise that a truncated tail is never half-merged.
+        pass
     return datasets, attrs
 
 

@@ -345,8 +345,13 @@ def cm_moments_pointwise(
             # were the measured cost center of the production Kalbach
             # dispatch (~3 transcendentals/eval at ~2.3M evals/row, round 3)
             ex = jnp.exp(aa * mu)
-            es_ = jnp.exp(aa)
-            pa = aa * ((1.0 + rr) * ex + (1.0 - rr) / ex) / (2.0 * (es_ - 1.0 / es_))
+            # denominator 2 sinh(aa) via expm1: e^a - e^-a = em (2 + em)/(1 + em)
+            # with em = expm1(aa). The naive e^a - e^-a cancels catastrophically
+            # for small aa (~eps/(2 aa) relative, ~1e-4 at the 1e-12 clamp that
+            # every a=0/near-isotropic law-44 knot hits); expm1 is exact there
+            # and aa/em -> 1 smoothly (round-4 advisor finding).
+            em = jnp.expm1(aa)
+            pa = aa * ((1.0 + rr) * ex + (1.0 - rr) / ex) * (1.0 + em) / (2.0 * em * (2.0 + em))
         elif angular == "tabular":
             kmu = mu_knots.shape[0]
             je = _panel_index_rows(e_knots, xm)  # (T, NW*SY)

@@ -33,7 +33,9 @@ def _worker_deck(cfg, i: int, n: int, out_path: Path) -> dict:
     device = d.pop("device")
     d["shard"] = f"{i}/{n}"
     output["path"] = str(out_path)
-    output["format"] = "hdf5"  # merge is HDF5-level; ASCII twins post-merge
+    # workers always emit HDF5 (the merge is HDF5-level); run_workers writes
+    # the ASCII twin from the merged file when cfg asks for ascii/both
+    output["format"] = "hdf5"
     return {"run": d, "output": output, "device": device}
 
 
@@ -58,6 +60,15 @@ def run_workers(
 
     log = log_mod.get()
     out = Path(cfg.output.path)
+    # The merged file is HDF5. With format='ascii' cfg.output.path names the
+    # ASCII file, so the HDF5 merge target moves aside; with 'both' the HDF5
+    # keeps cfg.output.path and the twin lands at the open_writers .txt path.
+    ascii_out = None
+    if cfg.output.format == "ascii":
+        ascii_out = out
+        out = out.with_suffix(".h5")
+    elif cfg.output.format == "both":
+        ascii_out = out.with_suffix(".txt")
     out.parent.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
     procs = []
@@ -97,6 +108,11 @@ def run_workers(
 
     present = [sp for sp in shard_paths if sp.exists()]
     merged = merge_libraries(out, present) if present else 0
+    if ascii_out is not None and merged:
+        from ndpp_tpu.io.library import write_ascii_from_hdf5
+
+        n_ascii = write_ascii_from_hdf5(out, ascii_out)
+        log.info("ASCII twin written: %s (%d nuclides)", ascii_out, n_ascii)
     summary = {
         "workers": n_workers,
         "worker_rcs": rcs,

@@ -156,7 +156,29 @@ def check_continuum() -> dict:
     )
     got = cm_moments_pointwise(*common, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
     ref = cm_moments_pointwise(*common, 16, 16, "kalbach", "tabular", True, 8, 0, "panels")
-    return {**_family_gate(got, ref), "rows": rows}
+    r = _family_gate(got, ref)
+
+    # Small-aa probe (round-4 advisor finding): at the a=0 clamp a law-44
+    # row is isotropic to O(a), so the independent reference is the
+    # isotropic angular path AT THE SAME quadrature — a formula-level
+    # regression in pa (e.g. the e^a - e^-a cancellation, ~5e-5 at the
+    # clamp) shows here, where the two-quadrature comparison above cannot
+    # see it (both legs share the pa formula elementwise).
+    small = (
+        jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
+        jnp.zeros_like(jnp.asarray(aa)), muk, mup, jnp.zeros(rows), 0.0,
+        jnp.asarray(bounds), awr, PROD_ORDER,
+    )
+    got0 = cm_moments_pointwise(*small, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
+    ref0 = cm_moments_pointwise(*small, 8, 8, "isotropic", "tabular", True, 8, 0, "lagrange")
+    r0 = _family_gate(got0, ref0)
+    return {
+        **r,
+        "small_aa_max_abs": r0["max_abs"],
+        "small_aa_ok": r0["ok"],
+        "ok": r["ok"] and r0["ok"],
+        "rows": rows,
+    }
 
 
 def check_chi() -> dict:

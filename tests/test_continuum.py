@@ -267,3 +267,36 @@ def test_lagrange_group_split_matches_panels():
             outs["lagrange"], outs["panels"], atol=3e-8 * scale, rtol=0,
             err_msg=f"{ang}/{energy}",
         )
+
+
+def test_kalbach_small_a_isotropic_limit():
+    """At the a=0 clamp a law-44 row is isotropic to O(a): the Kalbach
+    angular factor must match the isotropic path at the same quadrature to
+    ~f64 roundoff. Guards the two-exp denominator against the e^a - e^-a
+    cancellation (~5e-5 relative at the 1e-12 clamp) that the round-4
+    advisor flagged — every near-isotropic law-44 knot hits that clamp."""
+    import jax.numpy as jnp
+
+    from ndpp_tpu.ops.continuum import cm_moments_pointwise
+
+    rows, k = 8, 24
+    awr = 55.4
+    rng = np.random.default_rng(5)
+    e = np.geomspace(3e6, 1.8e7, rows)
+    emax_r = (e - 2e6) * awr / (awr + 1.0)
+    kn = np.linspace(1e3, emax_r, k, axis=-1)
+    pd = kn * np.exp(-kn / (emax_r[:, None] / 4.0))
+    pd /= np.trapezoid(pd, kn, axis=1)[:, None]
+    rr = rng.uniform(0.0, 0.9, size=(rows, k))  # r is irrelevant as a -> 0
+    aa = np.zeros((rows, k))  # clamped to 1e-12 in-kernel
+    bounds = G12.bounds
+    muk = jnp.asarray(np.array([-1.0, 1.0]))
+    mup = jnp.zeros((rows, k, 2))
+    common = (
+        jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
+        jnp.asarray(aa), muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds),
+        awr, 3,
+    )
+    got = cm_moments_pointwise(*common, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
+    ref = cm_moments_pointwise(*common, 8, 8, "isotropic", "tabular", True, 8, 0, "lagrange")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-11)

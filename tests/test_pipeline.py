@@ -190,6 +190,7 @@ def test_worker_sharded_run_and_merge(small_library, tmp_path):
 
     cfg = _cfg(small_library, tmp_path)
     cfg.output.path = str(tmp_path / "merged.h5")
+    cfg.output.format = "both"  # exercises the post-merge ASCII twin
     summary = run_workers(cfg, 2, force_cpu_devices=2)
     assert all(rc == 0 for rc in summary["worker_rcs"].values()), summary
     assert summary["merged_nuclides"] == 2, summary
@@ -197,6 +198,11 @@ def test_worker_sharded_run_and_merge(small_library, tmp_path):
     assert report["match"], report["missing"] or {
         k: v for k, v in report["datasets"].items() if not v.get("ok")
     }
+    # the ASCII twin of the merged library is present and bit-exact
+    twin = tmp_path / "merged.txt"
+    assert twin.exists()
+    report = compare(cfg.output.path, twin, rtol=0.0, atol=0.0)
+    assert report["match"]
 
 
 def test_quarantine_malformed_nuclide(small_library, tmp_path):
@@ -283,3 +289,120 @@ def test_oom_retry_halves_tile_then_quarantines(monkeypatch):
     monkeypatch.setattr(driver, "process_nuclide", fault)
     with pytest.raises(NdppError, match="device runtime failure"):
         driver._process_with_oom_retry(nuc, gs, cfg, None, None)
+
+
+def test_ascii_midline_truncation_drops_block(small_library, tmp_path):
+    """A crash mid-VALUE-LINE leaves a partial float token ('1.2345E...' cut
+    short); the reader must treat it as end-of-usable-data and keep the
+    committed blocks, not raise ValueError (round-4 advisor finding)."""
+    from ndpp_tpu.io.library import read_ascii
+
+    cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c", "8016.80c"])
+    cfg.output.format = "ascii"
+    cfg.output.path = str(tmp_path / "mid.txt")
+    driver.run(cfg)
+    text = open(cfg.output.path).read()
+    # cut inside the LAST nuclide's scatter payload, mid-token
+    cut = text.rindex("scatter ")
+    cut = text.index("\n", cut) + 90  # 90 chars into the first value line
+    assert text[cut - 1] not in "\n "  # really mid-token
+    trunc = tmp_path / "mid_trunc.txt"
+    trunc.write_text(text[:cut])
+    datasets, _ = read_ascii(trunc)
+    done = {k for k in datasets if k.startswith("/nuclides/")}
+    assert any(k.startswith("/nuclides/1001.80c/") for k in done)
+    assert not any(k.startswith("/nuclides/8016.80c/") for k in done)
+
+
+def test_merge_skips_incomplete_groups(small_library, tmp_path):
+    """merge_libraries must not copy a crashed worker's partial nuclide
+    group (complete=0): it would poison readers and resume bookkeeping
+    (round-4 advisor finding)."""
+    from ndpp_tpu.io.library import merge_libraries
+
+    cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c", "8016.80c"])
+    driver.run(cfg)
+    # fabricate a "crashed mid-write" shard: o16 marked incomplete
+    import shutil
+
+    shard = tmp_path / "shard_crashed.h5"
+    shutil.copy(cfg.output.path, shard)
+    with h5py.File(shard, "a") as f:
+        f["nuclides/8016.80c"].attrs["complete"] = 0
+        del f["nuclides/8016.80c/scatter"]  # datasets may be missing too
+    merged = tmp_path / "merged_guard.h5"
+    n = merge_libraries(merged, [shard])
+    assert n == 1
+    with h5py.File(merged) as f:
+        assert sorted(f["nuclides"]) == ["1001.80c"]
+
+
+def test_write_ascii_from_hdf5_lossless(small_library, tmp_path):
+    """The post-merge ASCII twin (worker-sharded runs with format
+    ascii/both) is bit-exact against its HDF5 source (round-4 advisor
+    finding: --workers silently dropped the ASCII output)."""
+    from ndpp_tpu.io.library import write_ascii_from_hdf5
+
+    cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c"])
+    driver.run(cfg)
+    twin = tmp_path / "twin.txt"
+    n = write_ascii_from_hdf5(cfg.output.path, twin)
+    assert n == 1
+    report = compare(cfg.output.path, twin, rtol=0.0, atol=0.0)
+    assert report["match"], report["missing"] or {
+        k: v for k, v in report["datasets"].items() if not v.get("ok")
+    }
+
+
+def test_writer_fault_with_full_queue_aborts(small_library, tmp_path, monkeypatch):
+    """Writer-thread shutdown must not deadlock when the writer dies with
+    results still buffered (round-4 advisor finding: the unbounded sentinel
+    put on the maxsize-2 queue). The writer here stalls long enough for the
+    sweep to finish enqueueing, then faults — the run must raise the
+    writer fault promptly instead of hanging."""
+    import threading
+    import time as time_mod
+
+    from ndpp_tpu.io.library import HDF5LibraryWriter
+
+    real_write = HDF5LibraryWriter.write_nuclide
+    calls = []
+
+    def slow_then_fault(self, res):
+        calls.append(res.name)
+        time_mod.sleep(3.0)  # let the main loop enqueue everything first
+        raise OSError("disk full (injected)")
+
+    monkeypatch.setattr(HDF5LibraryWriter, "write_nuclide", slow_then_fault)
+    # Three nuclides so the maxsize-2 queue is FULL when the writer faults
+    # (writer holds #1; #2 and #3 buffered) — the exact deadlock scenario:
+    # the old unbounded sentinel put then blocked forever.
+    lib = tmp_path / "wflib"
+    lib.mkdir()
+    entries = []
+    for i, ne in enumerate([40, 44, 48]):
+        nuc = synth.h1_like(n_energy=ne)
+        nuc.name, nuc.zaid = f"100{i + 1}.80c", 1001 + i
+        p = write_ace(nuc, lib / f"n{i}.ace")
+        entries.append(f"{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0")
+    (lib / "xsdir").write_text("directory\n" + "\n".join(entries) + "\n")
+    cfg = _cfg(lib, tmp_path, nuclides=["1001.80c", "1002.80c", "1003.80c"])
+    cfg.output.path = str(tmp_path / "fault.h5")
+
+    result: dict = {}
+
+    def _run():
+        try:
+            driver.run(cfg)
+            result["outcome"] = "returned"
+        except OSError as e:
+            result["outcome"] = f"raised: {e}"
+        except BaseException as e:  # noqa: BLE001
+            result["outcome"] = f"raised-other: {type(e).__name__}: {e}"
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout=120.0)
+    assert not t.is_alive(), "driver.run deadlocked on writer shutdown"
+    assert result["outcome"].startswith("raised: disk full"), result
+    monkeypatch.setattr(HDF5LibraryWriter, "write_nuclide", real_write)
