@@ -27,9 +27,10 @@ detail additionally carries (round-1 verdict items 3 + 4):
     256 rows x 257-group window + chi 512 rows, P5/361g), combined as
     total-moments / total-time with each family's time taken from its
     measured rate;
-  - "selfcheck": the ON-CHIP accuracy gate — dd and f32 vs f64 max error
-    at the production shape on the real device; dd above 1e-8 sets
-    ok=false and exits 1 (fails loudly in the round's driver bench).
+  - "selfcheck": the ON-CHIP accuracy gate — every kernel family vs an
+    independent path at production shapes on the real device; any family
+    above 1e-8 sets ok=false and exits 1 (fails loudly in the round's
+    driver bench).
 
 Timing methodology (see BASELINE.md): ONE device execution of a
 lax.fori_loop whose carry chains a perturbation of the inputs through
@@ -243,25 +244,13 @@ def main() -> None:
     )
 
     detail: dict = {}
-    dd_rate = f32_rate = None
+    dd_rate = None
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu and in_budget():
         from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
 
         dd_rate, _ = _rate(
             lambda e_arr: twobody_moments_dd(e_arr, *args, ORDER, NQ), e0, 1e-13, tb_moments
-        )
-    if on_tpu and in_budget():
-        import jax.numpy as jnp
-
-        from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
-
-        args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
-        f32_rate, _ = _rate(
-            lambda e_arr: twobody_moments_pallas(e_arr, *args32, ORDER, NQ),
-            jnp.asarray(e0, jnp.float32),
-            1e-6,
-            tb_moments,
         )
     if on_tpu and in_budget():
         from ndpp_tpu import selfcheck
@@ -297,8 +286,7 @@ def main() -> None:
         detail["composite_moments_per_sec"] = round(total_m / total_t, 1)
         detail["composite_workload_rows"] = COMPOSITE_ROWS
 
-    # primary: fastest ACCURACY-COMPLIANT path (dd ~1e-11 vs f64; f32 is
-    # the ~1e-6 preview path and stays a detail entry)
+    # primary: fastest ACCURACY-COMPLIANT path (dd ~1e-11 vs f64)
     primary, primary_path = max(
         [(f64_rate, "f64-xla")] + ([(dd_rate, "dd-pallas")] if dd_rate else []),
     )
@@ -315,7 +303,6 @@ def main() -> None:
             "path": primary_path,
             "f64_moments_per_sec": round(f64_rate, 1),
             "dd_pallas_moments_per_sec": round(dd_rate, 1) if dd_rate else None,
-            "f32_pallas_moments_per_sec": round(f32_rate, 1) if f32_rate else None,
         }
     )
     print(

@@ -238,7 +238,7 @@ def main(argv: list[str] | None = None) -> int:
 
     ps = sub.add_parser(
         "selfcheck",
-        help="on-chip accuracy gate: dd/f32 fast paths vs f64 at the production shape",
+        help="on-chip accuracy gate: every kernel family vs an independent path at production shapes",
     )
     ps.add_argument("--tile", type=int, default=2048)
     ps.add_argument("--order", type=int, default=5)

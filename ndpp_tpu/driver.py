@@ -90,10 +90,10 @@ def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetric
     pdf = unionize.pad_to(prep.pdf, k16, axis=1)
     out = np.empty((ne, order + 1, bounds.size - 1))
     b = rows_mod.put_replicated(bounds)
-    # Pallas fast paths (single chip, non-CPU backend only — XLA cannot
-    # auto-partition a pallas custom call over the 'e' mesh): f32 is the
-    # ~1e-6 preview path; dd is the double-double inner stage, ~1e-11 vs
-    # the f64 XLA kernel (test_pallas) — accuracy-compliant.
+    # Pallas fast path (single chip, non-CPU backend only — XLA cannot
+    # auto-partition a pallas custom call over the 'e' mesh): dd is the
+    # double-double inner stage, ~1e-11 vs the f64 XLA kernel
+    # (test_pallas) — accuracy-compliant.
     kernel_fn = _kernel_fn()
     # dispatch every tile asynchronously, then gather: one tunnel round-trip
     # instead of one per tile. Constants go as per-row arrays so these
@@ -128,10 +128,6 @@ def _kernel_fn():
         import jax
 
         if jax.default_backend() != "cpu":
-            if rows_mod.precision() == "f32":
-                from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
-
-                return twobody_moments_pallas
             if rows_mod.precision() == "dd":
                 from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
 
@@ -401,8 +397,6 @@ def run(cfg: RunConfig) -> RunMetrics:
         )
     if nd > 1:
         log.info("row-sharded dispatch over %d devices", nd)
-    if cfg.device.precision == "f32":
-        log.info("f32 fast path: ~1e-6 moment accuracy (production bar is f64)")
 
     gs = cfg.group_structure()
     with timers.span("index"):

@@ -105,8 +105,8 @@ def twobody_panels(e, knots, pdf, bounds, c1, c2, awr, clamp: bool):
 
     Builds the sorted edge set (pdf knots ++ group-boundary mu breakpoints ++
     graded -1 ladder) and per-subinterval affine pdf coefficients. Used by
-    both the XLA kernel below and the fused Pallas f32 path
-    (ops/twobody_pallas.twobody_moments_pallas).
+    both the XLA kernel below and the fused Pallas dd path
+    (ops/twobody_pallas_dd.twobody_moments_dd).
 
     Returns (mid, half, a_s, b_s, base, slope, ecm, e_safe, ap1, valid_e).
     """

@@ -33,30 +33,30 @@ def configure(max_devices: int = 0, precision: str = "f64") -> int:
     Returns the device count in use. Called by the driver at run start;
     safe to call repeatedly (tests reconfigure between 1 and 8 devices).
 
-    precision sets the device compute dtype for every put_* call: 'f32' is
-    the fast preview path (~1e-6 moment accuracy, see test_precision);
-    'f64' computes in XLA-emulated float64, the 1e-8 production path;
-    'dd' keeps f64 tensors on the wire but lets kernels with a Pallas
-    double-double inner stage (ops/twobody_pallas_dd) dispatch it —
-    ~1e-11 agreement with f64 (test_pallas), docs/design.md.
+    precision selects the kernel path: 'f64' computes in XLA-emulated
+    float64, the 1e-8 production path; 'dd' keeps f64 tensors on the wire
+    but lets kernels with a Pallas double-double inner stage
+    (ops/twobody_pallas_dd) dispatch it — ~1e-11 agreement with f64
+    (test_pallas), docs/design.md. (The f32 preview path was removed in
+    round 4: slower than both at every measured shape.)
     """
     global _MESH, _NDEV, _DTYPE, _PRECISION
     devs = jax.devices()
     n = len(devs) if max_devices <= 0 else min(max_devices, len(devs))
     _NDEV = n
     _MESH = Mesh(np.asarray(devs[:n]), ("e",)) if n > 1 else None
-    _DTYPE = np.float32 if precision == "f32" else np.float64
+    _DTYPE = np.float64
     _PRECISION = precision
     return n
 
 
 def compute_dtype():
-    """The configured device compute dtype (np.float64 or np.float32)."""
+    """The configured device compute dtype (always np.float64 since round 4)."""
     return _DTYPE
 
 
 def precision() -> str:
-    """The configured precision string ('f64' | 'f32' | 'dd')."""
+    """The configured precision string ('f64' | 'dd')."""
     return _PRECISION
 
 

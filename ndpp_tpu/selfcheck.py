@@ -4,11 +4,12 @@
 fail loudly when any family drifts past the 1e-8 accuracy bar
 (BASELINE.json:5) on the real device:
 
-  - two-body: dd-Pallas and f32-Pallas vs the XLA-f64 kernel at the FULL
+  - two-body: the dd-Pallas path vs the XLA-f64 kernel at the FULL
     production shape (P5, 361 groups, 2048-row tile), with a probe batch
     that now mixes smooth, step (equiprobable-bin-like), and strongly
     peaked pdfs, discrete-level kinematics (c1 != 0) and AWR from 0.999
-    to 240 per row (round-2 verdict Weak #4).
+    to 240 per row (round-2 verdict Weak #4). (The f32 preview path was
+    removed in round 4.)
   - free-gas: the production scattering-law kernel (freegas_moments_sab)
     vs the structurally independent panel-split quadrature kernel at a
     small window (both on-chip; the kernels share no density code —
@@ -225,7 +226,6 @@ def run(
     ``skipped`` is set off-TPU (see module docstring).
     """
     import jax
-    import jax.numpy as jnp
 
     from ndpp_tpu.ops.twobody import twobody_moments
 
@@ -234,7 +234,6 @@ def run(
         out.update({"ok": True, "skipped": f"backend is {jax.devices()[0].platform}, not tpu"})
         return out
 
-    from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
     from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
 
     if e0 is None or args is None:
@@ -242,10 +241,6 @@ def run(
     ref = np.asarray(twobody_moments(e0, *args, order, nq))
 
     out["dd_max_abs"], out["dd_max_rel"] = _errpair(twobody_moments_dd(e0, *args, order, nq), ref)
-    args32 = tuple(jnp.asarray(a, jnp.float32) for a in args)
-    out["f32_max_abs"], out["f32_max_rel"] = _errpair(
-        twobody_moments_pallas(jnp.asarray(e0, jnp.float32), *args32, order, nq), ref
-    )
     ok = out["dd_max_rel"] <= 1e-8
     if families:
         for name, fn in (("freegas", check_freegas), ("continuum", check_continuum), ("chi", check_chi)):

@@ -34,7 +34,7 @@ def main() -> int:
     ap.add_argument("--order", type=int, default=5)
     ap.add_argument("--groups", default="uniform-lethargy-361")
     ap.add_argument("--top", type=int, default=30)
-    ap.add_argument("--precision", default="f64", choices=["f64", "dd", "f32"])
+    ap.add_argument("--precision", default="f64", choices=["f64", "dd"])
     ap.add_argument("--e-tile", type=int, default=0, help="override device.e_tile (0 = default)")
     args = ap.parse_args()
 

@@ -102,17 +102,7 @@ def main():
 
     timeloop("full64_segscatter", full64_body, e)
 
-    from ndpp_tpu.ops.twobody_pallas import twobody_moments_pallas
     from ndpp_tpu.ops.twobody_pallas_dd import twobody_moments_dd
-
-    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
-    e32, kn32, pdf32, b32, c132, c232, awr32 = map(f32, (e, knots, pdf, bounds, c1, c2, awr))
-
-    def full32_body(e_x):
-        out = twobody_moments_pallas(e_x, kn32, pdf32, b32, c132, c232, awr32, ORDER, NQ)
-        return chain(e_x, out, 1e-6)
-
-    timeloop("full32p_segscatter", full32_body, e32)
 
     def fulldd_body(e_x):
         out = twobody_moments_dd(e_x, knots, pdf, bounds, c1, c2, awr, ORDER, NQ)
