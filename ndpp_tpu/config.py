@@ -68,6 +68,11 @@ class DeviceConfig:
     # the scale of a group width, which no coarse subgrid can interpolate
     # to 1e-8 — round-2 finding, reversing the round-1 default).
     freegas_max_rows: int = 0
+    # Sweep stall watchdog (utils/watchdog.py): abort the process with exit
+    # code 4 (distinct from quarantine's 3) after this many minutes without
+    # a completed dispatch span, dumping all thread stacks first. 0 = off.
+    # Must exceed the worst legitimate cold compile (60-600 s/shape here).
+    watchdog_minutes: float = 0.0
 
     def validate(self) -> None:
         if self.precision not in ("f64", "dd"):
@@ -79,6 +84,8 @@ class DeviceConfig:
             raise ConfigError("device.e_tile and device.quad_points must be positive")
         if self.freegas_max_rows < 0:
             raise ConfigError("device.freegas_max_rows must be >= 0")
+        if self.watchdog_minutes < 0:
+            raise ConfigError("device.watchdog_minutes must be >= 0")
 
 
 @dataclass
@@ -182,6 +189,7 @@ def _build(data: dict) -> RunConfig:
         max_devices=int(dev.get("max_devices", cfg.device.max_devices)),
         profile=bool(dev.get("profile", cfg.device.profile)),
         freegas_max_rows=int(dev.get("freegas_max_rows", cfg.device.freegas_max_rows)),
+        watchdog_minutes=float(dev.get("watchdog_minutes", cfg.device.watchdog_minutes)),
     )
     cfg.validate()
     return cfg

@@ -235,6 +235,7 @@ def scattering_moments(
         accum[i0:] += (w * yld)[i0:, None, None] * mom
 
     tb_items: list[tuple[Reaction, int, object]] = []
+    cont_items: list[tuple[Reaction, int]] = []
     for rxn in rxns:
         # Threshold-row restriction (round 3): a reaction only contributes
         # where sigma_MT > 0, so the kernels run on e_grid[i0:] only (one
@@ -258,11 +259,20 @@ def scattering_moments(
                 prep = prepare_twobody(nuc, rxn, sub)
             tb_items.append((rxn, i0, prep))
         else:
-            from ndpp_tpu.continuum_driver import continuum_reaction_moments
-
-            mom = continuum_reaction_moments(nuc, rxn, sub, gs, order, cfg, metrics)
-            _accumulate(rxn, i0, mom)
+            # collected, then dispatched with cross-reaction law pooling
+            # (continuum_driver.batched_continuum_moments, round 4): all
+            # cm-kalbach / lab-tabular laws of a nuclide sharing a knot
+            # bucket ride one tiled dispatch set
+            cont_items.append((rxn, i0))
         log.debug("MT=%d queued/done (%d/%d rows)", rxn.mt, sub.size, ne)
+    if cont_items:
+        from ndpp_tpu.continuum_driver import batched_continuum_moments
+
+        moms = batched_continuum_moments(
+            nuc, [(rxn, e_grid[i0:]) for rxn, i0 in cont_items], gs, order, cfg, metrics
+        )
+        for (rxn, i0), mom in zip(cont_items, moms):
+            _accumulate(rxn, i0, mom)
     if tb_items:
         outs = _tiled_twobody_multi(
             [p for _, _, p in tb_items], gs.bounds, order, cfg.device.quad_points,
@@ -387,6 +397,23 @@ def run(cfg: RunConfig) -> RunMetrics:
     metrics = RunMetrics()
     t0 = time.perf_counter()
 
+    # Sweep stall watchdog (SURVEY.md section 5): the remote dispatch layer
+    # has wedged long sweeps on RPCs that never return; every completed
+    # phase span is a heartbeat, and a stall dumps stacks + exits 4 so a
+    # supervisor can restart with --resume (utils/watchdog.py).
+    watchdog = None
+    if cfg.device.watchdog_minutes > 0:
+        from ndpp_tpu.utils.watchdog import EXIT_STALL, SweepWatchdog
+
+        watchdog = SweepWatchdog(cfg.device.watchdog_minutes * 60.0).start()
+        metrics.timers.on_add = watchdog.progress
+        timers.on_add = watchdog.progress
+        log_mod.get().info(
+            "watchdog armed: exit(%d) after %.1f min without dispatch progress",
+            EXIT_STALL,
+            cfg.device.watchdog_minutes,
+        )
+
     from ndpp_tpu.parallel import rows as rows_mod
 
     nd = rows_mod.configure(cfg.device.max_devices, cfg.device.precision)
@@ -491,8 +518,18 @@ def run(cfg: RunConfig) -> RunMetrics:
         jax.profiler.start_trace(trace_dir)
         profile_ctx = trace_dir
         log.info("device profiling -> %s", trace_dir)
+    # Fault-injection hook (SURVEY.md section 5; tests/test_watchdog.py):
+    # simulate the observed environmental wedge — a dispatch that never
+    # returns — right before processing nuclide index NDPP_TEST_HANG_AT.
+    import os as os_mod
+
+    hang_at = os_mod.environ.get("NDPP_TEST_HANG_AT")
     try:
         for i, name in enumerate(todo):
+            if hang_at is not None and i == int(hang_at):
+                log.warning("NDPP_TEST_HANG_AT=%s: simulating a wedged dispatch", hang_at)
+                while True:
+                    time.sleep(3600)
             for j in range(i, min(i + prefetch_depth, len(todo))):
                 nm = todo[j]
                 if nm not in futures:
@@ -535,6 +572,8 @@ def run(cfg: RunConfig) -> RunMetrics:
                 metrics.nuclides_quarantined += 1
                 log.error("quarantined %s: %s", name, reason)
     finally:
+        if watchdog is not None:
+            watchdog.stop()
         if profile_ctx is not None:
             import jax
 

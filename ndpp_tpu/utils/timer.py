@@ -28,6 +28,10 @@ class PhaseTimers:
         self._elapsed: dict[str, float] = {}
         self._counts: dict[str, int] = {}
         self._lock = threading.Lock()
+        # Optional progress callback fired on every span exit — the sweep
+        # watchdog's heartbeat (utils/watchdog.py): any completed span
+        # (prep/dispatch/wait/write) counts as dispatch-layer progress.
+        self.on_add = None
 
     @contextmanager
     def span(self, name: str):
@@ -41,6 +45,9 @@ class PhaseTimers:
         with self._lock:
             self._elapsed[name] = self._elapsed.get(name, 0.0) + seconds
             self._counts[name] = self._counts.get(name, 0) + 1
+        cb = self.on_add
+        if cb is not None:
+            cb()
 
     def report(self) -> dict[str, float]:
         return dict(sorted(self._elapsed.items(), key=lambda kv: -kv[1]))
