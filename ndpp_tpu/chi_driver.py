@@ -84,6 +84,48 @@ def _law_fractions(prep, gs, cfg, metrics=None) -> np.ndarray:
     return out
 
 
+def _batched_law_fractions(preps, gs, cfg, metrics=None) -> list[np.ndarray]:
+    """One (NE_i, G) per law, with tabular laws POOLED by knot bucket into
+    one tiled dispatch set (round 4): a fissionable nuclide's prompt laws
+    plus its ~6 delayed precursor spectra previously each paid their own
+    dispatch latency — the dominant chi cost on the warm profile."""
+    from ndpp_tpu.continuum_driver import _add_discrete_lines
+    from ndpp_tpu.host.prep_continuum import ContinuumPrepared
+
+    out: list = [None] * len(preps)
+    pools: dict[int, list[int]] = {}
+    for i, prep in enumerate(preps):
+        if prep.kind == "lab-analytic" or prep.e_knots is None:
+            out[i] = _law_fractions(prep, gs, cfg, metrics)
+        else:
+            pools.setdefault(unionize.bucket_pow2(prep.e_knots.shape[1]), []).append(i)
+    for k16, idxs in sorted(pools.items()):
+        if len(idxs) == 1:
+            out[idxs[0]] = _law_fractions(preps[idxs[0]], gs, cfg, metrics)
+            continue
+        e_all = np.concatenate([preps[i].e for i in idxs])
+        pooled = ContinuumPrepared(
+            kind="lab-tabular",
+            e=e_all,
+            applicability=np.ones_like(e_all),  # weighting happens at the caller
+            e_knots=np.concatenate([unionize.pad_to(preps[i].e_knots, k16, axis=1) for i in idxs]),
+            pdf=np.concatenate([unionize.pad_to(preps[i].pdf, k16, axis=1) for i in idxs]),
+        )
+        frac_all = _law_fractions(pooled, gs, cfg, metrics)
+        off = 0
+        for i in idxs:
+            n = preps[i].e.size
+            f = frac_all[off : off + n]
+            if preps[i].extra.get("disc") is not None:
+                f = f.copy()  # the pooled buffer slice is shared
+                f3 = f[:, None, :]
+                _add_discrete_lines(f3, preps[i], gs, cfg)
+                f = f3[:, 0, :]
+            out[i] = f
+            off += n
+    return out
+
+
 def chi_collapse(res, nuc, gs, cfg, metrics=None) -> None:
     """Fill res.chi_* / res.nu_* in place."""
     log = log_mod.get()
@@ -99,22 +141,35 @@ def chi_collapse(res, nuc, gs, cfg, metrics=None) -> None:
     e_grid = res.energy
     ng = gs.ng
 
-    prompt = np.zeros((e_grid.size, ng))
+    # collect EVERY law (prompt + delayed) first, then dispatch with pooling
+    prompt_items = []
     for ed in fission.energy_dists:
         with RunMetrics.span_or_null(metrics, "prep.chi"):
             prep = prepare_continuum(nuc, fission, ed, e_grid, order=0)
         if metrics is not None and prep.padded_elements:
             metrics.record_padding(prep.real_elements, prep.padded_elements)
-        prompt += prep.applicability[:, None] * _law_fractions(prep, gs, cfg, metrics)
+        prompt_items.append((prep.applicability, prep))
 
-    delayed = None
+    delayed_items = []
     if nuc.precursors and nuc.delayed_spectra:
-        delayed = np.zeros((e_grid.size, ng))
         for prec, spec in zip(nuc.precursors, nuc.delayed_spectra):
             with RunMetrics.span_or_null(metrics, "prep.chi"):
                 prep = prepare_continuum(nuc, fission, spec, e_grid, order=0)
             pk = np.clip(prec.probability(e_grid), 0.0, None)
-            delayed += pk[:, None] * prep.applicability[:, None] * _law_fractions(prep, gs, cfg, metrics)
+            delayed_items.append((pk * prep.applicability, prep))
+
+    fracs = _batched_law_fractions(
+        [p for _, p in prompt_items + delayed_items], gs, cfg, metrics
+    )
+    prompt = np.zeros((e_grid.size, ng))
+    for (w, _), f in zip(prompt_items, fracs[: len(prompt_items)]):
+        prompt += w[:, None] * f
+
+    delayed = None
+    if delayed_items:
+        delayed = np.zeros((e_grid.size, ng))
+        for (w, _), f in zip(delayed_items, fracs[len(prompt_items) :]):
+            delayed += w[:, None] * f
         # normalize delayed fractions if precursor probabilities don't sum to 1
         psum = np.sum([np.clip(p.probability(e_grid), 0.0, None) for p in nuc.precursors], axis=0)
         with np.errstate(invalid="ignore"):

@@ -58,8 +58,16 @@ def _tiles(ne: int, cap: int, e_tile: int = 512):
     return tile, unionize.tile_indices(ne, tile)
 
 
-def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float, metrics=None) -> np.ndarray:
-    """(NE, L+1, G) for one law (unweighted)."""
+def _law_moments(
+    prep: ContinuumPrepared, gs, order, cfg, awr: float, metrics=None, ksel_override: int | None = None
+) -> np.ndarray:
+    """(NE, L+1, G) for one law (unweighted).
+
+    ksel_override: the windowed-knot selection bound, already quantized —
+    passed by the pooled path (batched_continuum_moments), whose
+    concatenated rows carry edge-pad duplicate knots that would inflate
+    the bound computed here (the round-3 unpadded-knots rule).
+    """
     from ndpp_tpu.parallel import rows as rows_mod
 
     ne = prep.e.size
@@ -136,18 +144,21 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float, metrics=No
                 muk = prep.mu_knots
                 mup = unionize.pad_to(prep.mu_pdf, k16, axis=1)
             emax = np.zeros(ne)
-            with RunMetrics.span_or_null(metrics, "prep.continuum_window"):
-                # bound on the UNPADDED knots: edge-pad duplicates all sit at
-                # the top of the window and were inflating `need` past the
-                # windowed-path threshold at production shapes (round 3)
-                ksel = _window_knot_bound(prep.e, awr, prep.e_knots)
-                # Exactly TWO compiled classes per knot bucket — windowed at
-                # K_pad/8 or the full-knot path. Each distinct kernel shape
-                # costs minutes on the remote compiler (no persistent cache
-                # for big kernels), so ksel variety is quantized hard; the
-                # window only pays when it is MUCH narrower than the table.
-                kw = kn.shape[1] // 8
-                ksel = kw if 0 < ksel <= kw else 0
+            if ksel_override is not None:
+                ksel = ksel_override
+            else:
+                with RunMetrics.span_or_null(metrics, "prep.continuum_window"):
+                    # bound on the UNPADDED knots: edge-pad duplicates all sit
+                    # at the top of the window and were inflating `need` past
+                    # the windowed-path threshold at production shapes (round 3)
+                    ksel = _window_knot_bound(prep.e, awr, prep.e_knots)
+                    # Exactly TWO compiled classes per knot bucket — windowed at
+                    # K_pad/8 or the full-knot path. Each distinct kernel shape
+                    # costs minutes on the remote compiler (no persistent cache
+                    # for big kernels), so ksel variety is quantized hard; the
+                    # window only pays when it is MUCH narrower than the table.
+                    kw = kn.shape[1] // 8
+                    ksel = kw if 0 < ksel <= kw else 0
         tile, spans = _tiles(ne, _CONTINUUM_TILE, cfg.device.e_tile)
         pending = []
         with RunMetrics.span_or_null(metrics, "dispatch.continuum"):
@@ -166,18 +177,34 @@ def _law_moments(prep: ContinuumPrepared, gs, order, cfg, awr: float, metrics=No
                 bounds,
                 awr,
                 order,
-                # outer-w order: the tabulated-angle payload leaves mild C^1
-                # residue in the outer integrand (measured: nq_w=8 -> 8e-9,
-                # 16 -> 1.3e-9; nq_y is not the limiter); kalbach/nbody are
-                # ~1e-10 at 8
-                16 if angular == "tabular" else 8,
+                # Tabular-angle payloads carry data-knot-crossing C^1 kinks
+                # INSIDE outer panels (the K x KMU crossing family is not an
+                # edge set), which the Lagrange cumulant interpolant cannot
+                # split through: at the production 361-group structure the
+                # lagrange path measured 4.6e-7 on an adversarially rough
+                # payload and did not converge in nq_w (round-4
+                # production-shape gate). The boundary-edged "panels" split
+                # converges there — vs a (40, 16) reference on the same
+                # payload: nq_w 24 -> 5.3e-9 abs / 1.2e-7 rel-significant,
+                # nq_w 32 -> 2.8e-9 / 5.8e-8 (nq_y 8 == 16 exactly) — so
+                # tabular runs panels at 32/8. Full 1e-8 rel on arbitrarily
+                # rough tables needs the crossing-image edge family
+                # (~K*KMU extra outer edges); smooth physical tables are
+                # well inside the bar already (tests/test_continuum law61cm
+                # oracle suite).
+                # Kalbach/nbody integrands are smooth in w and run the
+                # G-independent lagrange split (ops/panelsplit); nq_w=8
+                # measured 9.9e-9 abs / 1.35e-7 rel-significant at AWR 238
+                # x 361 groups (over the 1e-8 bar), nq_w=10 -> 5.7e-10 abs
+                # (round-4 production-shape gate); nq_y 8 == 12 exactly.
+                32 if angular == "tabular" else 10,
                 8,
                 angular,
                 energy,
                 clamp,
                 8,
                 ksel,
-                "lagrange",  # G-independent outer panels (ops/panelsplit)
+                "panels" if angular == "tabular" else "lagrange",
             )
             pending.append((sl, length, res))
         with RunMetrics.span_or_null(metrics, "wait.continuum"):
@@ -219,16 +246,103 @@ def _add_discrete_lines(out: np.ndarray, prep: ContinuumPrepared, gs, cfg) -> No
         out[sl] += np.asarray(res)[:length]
 
 
+def _pool_class(prep: ContinuumPrepared):
+    """Dispatch-pool class key, or None if the law cannot pool.
+
+    cm-kalbach and lab-tabular laws sharing a knot bucket concatenate
+    freely (the kernels are per-row); cm-tabular laws carry a law-specific
+    shared mu grid, cm-nbody a static exponent, lab-analytic a static law
+    number — those stay per-law (each is a single cheap dispatch anyway).
+    """
+    if prep.kind in ("cm-kalbach", "lab-tabular"):
+        return (prep.kind, unionize.bucket_pow2(prep.e_knots.shape[1]))
+    return None
+
+
+def _pooled_prep(kind: str, k16: int, preps: list[ContinuumPrepared]) -> ContinuumPrepared:
+    """Concatenate same-class laws into one synthetic row pool."""
+    cat = lambda key: np.concatenate(  # noqa: E731
+        [unionize.pad_to(getattr(p, key), k16, axis=1) for p in preps]
+    )
+    e_all = np.concatenate([p.e for p in preps])
+    pooled = ContinuumPrepared(
+        kind=kind,
+        e=e_all,
+        applicability=np.ones_like(e_all),  # weighting happens per item at split
+        e_knots=cat("e_knots"),
+        pdf=cat("pdf"),
+    )
+    if kind == "cm-kalbach":
+        pooled.r_rows = cat("r_rows")
+        pooled.a_rows = cat("a_rows")
+    else:  # lab-tabular (discrete lines handled per item after the split)
+        pooled.mom_knots = np.concatenate(
+            [unionize.pad_to(p.mom_knots, k16, axis=1) for p in preps]
+        )
+    return pooled
+
+
+def batched_continuum_moments(nuc, rxn_rows, gs, order, cfg, metrics=None) -> list[np.ndarray]:
+    """Per-reaction continuum moments with CROSS-REACTION dispatch pooling.
+
+    rxn_rows: list of (rxn, e_rows) for one nuclide. Returns one
+    applicability-weighted (NE_i, L+1, G) per reaction. All cm-kalbach
+    (and separately lab-tabular) laws sharing a knot bucket ride ONE tiled
+    dispatch set instead of one per reaction — the round-3 warm profile
+    showed per-dispatch tunnel latency (~0.4-0.8 s), not device FLOPs,
+    dominating the continuum wait (round-3 verdict Next #1).
+    """
+    totals = [np.zeros((e_rows.size, order + 1, gs.ng)) for _, e_rows in rxn_rows]
+    entries: list[tuple[int, ContinuumPrepared]] = []
+    for ri, (rxn, e_rows) in enumerate(rxn_rows):
+        if not rxn.energy_dists:
+            raise AceFormatError(f"MT={rxn.mt}: no energy distribution")
+        for ed in rxn.energy_dists:
+            with RunMetrics.span_or_null(metrics, "prep.continuum"):
+                prep = prepare_continuum(nuc, rxn, ed, e_rows, order)
+            if metrics is not None and prep.padded_elements:
+                metrics.record_padding(prep.real_elements, prep.padded_elements)
+            entries.append((ri, prep))
+
+    pools: dict[tuple, list[tuple[int, ContinuumPrepared]]] = {}
+    for ri, prep in entries:
+        key = _pool_class(prep)
+        if key is None:
+            mom = _law_moments(prep, gs, order, cfg, nuc.awr, metrics)
+            totals[ri] += prep.applicability[:, None, None] * mom
+        else:
+            pools.setdefault(key, []).append((ri, prep))
+
+    for (kind, k16), members in sorted(pools.items()):
+        if len(members) == 1:
+            ri, prep = members[0]
+            mom = _law_moments(prep, gs, order, cfg, nuc.awr, metrics)
+            totals[ri] += prep.applicability[:, None, None] * mom
+            continue
+        ksel = None
+        if kind == "cm-kalbach":
+            with RunMetrics.span_or_null(metrics, "prep.continuum_window"):
+                # per-item bounds on UNPADDED knots (round-3 rule), combined
+                # as the max — then the same hard quantization as the
+                # single-law path
+                need = max(
+                    _window_knot_bound(p.e, nuc.awr, p.e_knots) or k16 for _, p in members
+                )
+                kw = k16 // 8
+                ksel = kw if 0 < need <= kw else 0
+        pooled = _pooled_prep(kind, k16, [p for _, p in members])
+        mom_all = _law_moments(pooled, gs, order, cfg, nuc.awr, metrics, ksel_override=ksel)
+        off = 0
+        for ri, prep in members:
+            mom = mom_all[off : off + prep.e.size]
+            if kind == "lab-tabular" and prep.extra.get("disc") is not None:
+                mom = mom.copy()  # the pooled buffer slice is shared
+                _add_discrete_lines(mom, prep, gs, cfg)
+            totals[ri] += prep.applicability[:, None, None] * mom
+            off += prep.e.size
+    return totals
+
+
 def continuum_reaction_moments(nuc, rxn, e_grid, gs, order, cfg, metrics=None) -> np.ndarray:
     """Applicability-weighted sum over the reaction's law chain: (NE, L+1, G)."""
-    if not rxn.energy_dists:
-        raise AceFormatError(f"MT={rxn.mt}: no energy distribution")
-    total = np.zeros((e_grid.size, order + 1, gs.ng))
-    for ed in rxn.energy_dists:
-        with RunMetrics.span_or_null(metrics, "prep.continuum"):
-            prep = prepare_continuum(nuc, rxn, ed, e_grid, order)
-        if metrics is not None and prep.padded_elements:
-            metrics.record_padding(prep.real_elements, prep.padded_elements)
-        mom = _law_moments(prep, gs, order, cfg, nuc.awr, metrics)
-        total += prep.applicability[:, None, None] * mom
-    return total
+    return batched_continuum_moments(nuc, [(rxn, e_grid)], gs, order, cfg, metrics)[0]

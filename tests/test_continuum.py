@@ -300,3 +300,46 @@ def test_kalbach_small_a_isotropic_limit():
     got = cm_moments_pointwise(*common, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
     ref = cm_moments_pointwise(*common, 8, 8, "isotropic", "tabular", True, 8, 0, "lagrange")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-11)
+
+
+def test_batched_pooling_matches_per_reaction():
+    """Cross-reaction dispatch pooling (round 4): cm-kalbach and
+    lab-tabular laws pooled into one row pool must reproduce the
+    per-reaction dispatch results (same kernels, rows are independent;
+    only the ksel window quantization may differ, which is exact either
+    way)."""
+    from ndpp_tpu.continuum_driver import (
+        batched_continuum_moments,
+        continuum_reaction_moments,
+    )
+
+    # cm-kalbach: the same reaction on two different row sets stands in
+    # for two reactions sharing a knot bucket
+    nuc = synth.build("kalbach")
+    rxn = nuc.reactions[91]
+    e1 = np.array([5e6, 1.1e7, 1.9e7])
+    e2 = np.array([6e6, 1.5e7])
+    pooled = batched_continuum_moments(nuc, [(rxn, e1), (rxn, e2)], G12, 3, CFG)
+    sep = [
+        continuum_reaction_moments(nuc, rxn, e1, G12, 3, CFG),
+        continuum_reaction_moments(nuc, rxn, e2, G12, 3, CFG),
+    ]
+    for got, ref in zip(pooled, sep):
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8 * scale)
+
+    # lab-tabular with ND discrete lines: per-item line application on the
+    # pooled slices
+    nuc = synth.build("law4nd")
+    rxn = next(iter(r for r in nuc.reactions.values() if r.energy_dists and r.energy_dists[0].law in (4, 44, 61)))
+    thresh = nuc.energy[rxn.threshold_idx]
+    e1 = np.exp(np.linspace(np.log(thresh * 1.3), np.log(1.8e7), 4))
+    e2 = np.exp(np.linspace(np.log(thresh * 1.6), np.log(1.2e7), 3))
+    pooled = batched_continuum_moments(nuc, [(rxn, e1), (rxn, e2)], G12, 3, CFG)
+    sep = [
+        continuum_reaction_moments(nuc, rxn, e1, G12, 3, CFG),
+        continuum_reaction_moments(nuc, rxn, e2, G12, 3, CFG),
+    ]
+    for got, ref in zip(pooled, sep):
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10 * scale)
