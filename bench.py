@@ -97,6 +97,12 @@ def _rate_pipelined(fn, e0, moments_per_call, calls=6):
     serialized, no cross-dispatch overlap) instead. Inputs are distinct
     per call because the axon remote layer elides repeated identical
     executions.
+
+    Round-4 caveat (BASELINE.md): on the axon backend block_until_ready
+    does NOT force output fetch, so these are DEVICE-SESSION rates; the
+    end-to-end sweep additionally pays ~17 MB/s of device->host tunnel
+    for every fetched moment (~2.2e6 f64 moments/s ceiling on this dev
+    harness — a tunnel artifact, not a v5e property).
     """
     import jax
     import jax.numpy as jnp
@@ -183,9 +189,11 @@ def _continuum_rate():
     kb = _window_knot_bound(e, awr, kn)
     kw = k // 8
     ksel = kw if 0 < kb <= kw else 0
+    # (10, 8): the driver's production Kalbach quadrature since round 4
+    # (nq_w=8 measured over the 1e-8 bar at production shapes)
     rate, dt = _rate_pipelined(
         lambda e_arr: cm_moments_pointwise(
-            e_arr, *args, awr, ORDER, 8, 8, "kalbach", "tabular", True, 8, ksel, "lagrange"
+            e_arr, *args, awr, ORDER, 10, 8, "kalbach", "tabular", True, 8, ksel, "lagrange"
         ),
         jnp.asarray(e),
         moments,

@@ -62,6 +62,46 @@ def _panel_index_rows(knots, q):
     return idx
 
 
+def _affine_coeffs_multi(xk, chans, q):
+    """Shared-mask multi-channel panel interpolation (masked sum, no gathers).
+
+    xk: (..., K) non-decreasing panel knots (broadcastable against q's
+    leading axes); chans: list of (..., K) channel values; q: (...,  S)
+    queries. Returns a list of (a, b) affine-coefficient pairs, each
+    (..., S), such that channel(q) = a + b*q on the containing panel.
+
+    One panel scan serves EVERY channel: the containment mask — the
+    expensive part of the O(K) masked-sum interpolation — is computed once
+    instead of once per channel (the Kalbach branch interpolates three
+    channels at the same selectors; round 4, continuum >= 5e6 push).
+    Queries below/above the knot range take the edge panels.
+    """
+    k = xk.shape[-1]
+    outs = [(jnp.zeros_like(q), jnp.zeros_like(q)) for _ in chans]
+    covered = jnp.zeros_like(q, dtype=bool)
+    for j in range(k - 1):
+        x0 = xk[..., j : j + 1]
+        x1 = xk[..., j + 1 : j + 2]
+        dx = x1 - x0
+        ok = dx > 0
+        inside = (q >= x0) & (q < x1)
+        if j == 0:
+            inside = inside | (q < x0)
+        if j == k - 2:
+            inside = inside | (q >= x1)
+        take = inside & ~covered
+        covered = covered | take
+        nxt = []
+        for (a, b), cr in zip(outs, chans):
+            y0 = cr[..., j : j + 1]
+            y1 = cr[..., j + 1 : j + 2]
+            slope = jnp.where(ok, (y1 - y0) / jnp.where(ok, dx, 1.0), 0.0)
+            inter = y0 - slope * x0
+            nxt.append((jnp.where(take, inter, a), jnp.where(take, slope, b)))
+        outs = nxt
+    return outs
+
+
 def _scatter_rows(m, gidx, ng):
     def row(m_row, g_row):
         return jnp.zeros((m_row.shape[0], ng), dtype=m_row.dtype).at[:, g_row].add(m_row)
@@ -287,10 +327,12 @@ def cm_moments_pointwise(
         ok_w = yhi_i > ylo_i
 
         # ---- inner panel edges in y
+        idx_b = None
         if use_window:
             j0 = jnp.clip(_panel_index_rows(yk, ylo_i), 0, ke - nsel)  # (T, NW)
             idx = j0[:, :, None] + jnp.arange(nsel, dtype=jnp.int32)[None, None, :]
-            yk_sel = jnp.take_along_axis(yk[:, None, :], jnp.broadcast_to(idx, (tt, nw, nsel)), axis=2)
+            idx_b = jnp.broadcast_to(idx, (tt, nw, nsel))
+            yk_sel = jnp.take_along_axis(yk[:, None, :], idx_b, axis=2)
         else:
             yk_sel = jnp.broadcast_to(yk[:, None, :], (tt, nw, ke))
         iparts = [jnp.clip(yk_sel, ylo_i[..., None], yhi_i[..., None]), ylo_i[..., None], yhi_i[..., None]]
@@ -317,6 +359,31 @@ def cm_moments_pointwise(
         mu_lab = (w4**2 + (s2[..., None, None]) ** 2 - x) / jnp.maximum(2.0 * s2[..., None, None] * w4, 1e-30)
         mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
 
+        # Interpolation channels at the panel-constant selectors xm3: one
+        # shared-mask panel scan serves pdf (+ Kalbach r, a); with the
+        # windowed-knot path the scan runs over the nsel gathered knots
+        # instead of the full table (K-1 -> nsel-1 masked terms, ~8x at the
+        # production K/8 quantization — the measured kernel cost center).
+        xm3 = ymid * ymid  # (T, NW, SY)
+        interp_chans = []
+        if energy != "nbody":
+            interp_chans.append(pdf_e)
+        if angular == "kalbach":
+            interp_chans += [r_rows, a_rows]
+        coeffs = []
+        if interp_chans:
+            if use_window:
+                ch_w = [
+                    jnp.take_along_axis(c[:, None, :], idx_b, axis=2) for c in interp_chans
+                ]
+                ek_w = jnp.take_along_axis(e_knots[:, None, :], idx_b, axis=2)
+                coeffs = _affine_coeffs_multi(ek_w, ch_w, xm3)
+            else:
+                coeffs = _affine_coeffs_multi(
+                    e_knots[:, None, :], [c[:, None, :] for c in interp_chans], xm3
+                )
+        ci = iter(coeffs)
+
         if energy == "nbody":
             pe = (
                 c_norm[:, None, None, None]
@@ -329,14 +396,14 @@ def cm_moments_pointwise(
             # the Jacobian was computed for (E'_lab, y) directly. p_E(y^2)
             # here carries only sqrt(E'_cm) = y from the phase-space form.
         else:
-            a_e, b_e = _affine_coeffs_rows(e_knots, pdf_e, xm)
-            pe = a_e.reshape(tt, nw, sy)[..., None] + b_e.reshape(tt, nw, sy)[..., None] * x
+            a_e, b_e = next(ci)
+            pe = a_e[..., None] + b_e[..., None] * x
 
         if angular == "kalbach":
-            a_r, b_r = _affine_coeffs_rows(e_knots, r_rows, xm)
-            a_a, b_a = _affine_coeffs_rows(e_knots, a_rows, xm)
-            rr = a_r.reshape(tt, nw, sy)[..., None] + b_r.reshape(tt, nw, sy)[..., None] * x
-            aa = a_a.reshape(tt, nw, sy)[..., None] + b_a.reshape(tt, nw, sy)[..., None] * x
+            a_r, b_r = next(ci)
+            a_a, b_a = next(ci)
+            rr = a_r[..., None] + b_r[..., None] * x
+            aa = a_a[..., None] + b_a[..., None] * x
             aa = jnp.maximum(aa, 1e-12)
             # two-exp form of a/(2 sinh a) (cosh(a mu) + r sinh(a mu)):
             # cosh + r sinh = ((1+r) e^{a mu} + (1-r) e^{-a mu})/2 and

@@ -117,78 +117,140 @@ def _family_gate(got, ref) -> dict:
     }
 
 
+def _worst(gates: list[dict]) -> dict:
+    return {
+        "max_abs": max(g["max_abs"] for g in gates),
+        "max_rel_significant": max(g["max_rel_significant"] for g in gates),
+        "ok": all(g["ok"] for g in gates),
+    }
+
+
 def check_freegas() -> dict:
-    """sab production kernel vs the independent panel-split quadrature kernel."""
+    """sab production kernel vs the independent panel-split quadrature
+    kernel at the PRODUCTION window — the 361-group structure's 256-group
+    thermal window plus the below-range catch group, at light AND heavy
+    AWR (round-3 verdict Weak #4: toy-shape family gates at 32 groups /
+    one AWR missed the failure surface the round-3 NaN lived on)."""
     import jax.numpy as jnp
 
+    from ndpp_tpu import groups
     from ndpp_tpu.ops.freegas import freegas_moments_panelsplit, freegas_moments_sab
 
-    rows, ngw = 8, 32
-    awr, kt = 0.9992, 0.0253
-    e = jnp.asarray(np.geomspace(1e-3, 5.0, rows))
-    bw = jnp.asarray(np.concatenate([[0.0], np.geomspace(1e-4, 60.0, ngw + 1)]))
-    got = freegas_moments_sab(e, awr, kt, bw, PROD_ORDER)
-    ref = freegas_moments_panelsplit(e, awr, kt, bw, PROD_ORDER, 12, 16, 16)
-    return {**_family_gate(got, ref), "rows": rows, "window": ngw}
+    rows, w, kt = 8, 256, 0.0253
+    gsb = groups.get("uniform-lethargy-361").bounds
+    bw = jnp.asarray(np.concatenate([[0.0], gsb[: w + 1]]))
+    gates = []
+    for awr in (0.999, 238.0):
+        e = jnp.asarray(np.geomspace(1e-3, 10.0, rows))
+        got = freegas_moments_sab(e, awr, kt, bw, PROD_ORDER)
+        # reference quadrature (16, 20, 20): 6.8e-12 (A 0.999) / 5.5e-10
+        # (A 238) vs the host oracle at THIS window — (12, 16, 16) was the
+        # gate's own limiter at 1.0e-8 (round-4 measurement)
+        ref = freegas_moments_panelsplit(e, awr, kt, bw, PROD_ORDER, 16, 20, 20)
+        gates.append(_family_gate(got, ref))
+    return {**_worst(gates), "rows": rows, "window": w, "awr": [0.999, 238.0]}
 
 
 def check_continuum() -> dict:
-    """Lagrange split at production quadrature vs panels split at 16/16."""
+    """Continuum family gate at PRODUCTION shape: 361 groups, rows whose
+    outgoing support straddles the TOP group boundary (the exact failure
+    surface of the round-3 fusion NaN), light and heavy AWR, and BOTH
+    angular payloads the sweep dispatches (Kalbach and tabular-angle) —
+    round-3 verdict Weak #4 retired the 64-group toy gate. Each leg:
+    Lagrange split at production quadrature vs the boundary-edged panels
+    split at higher quadrature."""
     import jax.numpy as jnp
 
+    from ndpp_tpu import groups
     from ndpp_tpu.ops.continuum import cm_moments_pointwise
 
-    rows, k, ng = 16, 32, 64
-    awr = 55.4
-    rng = np.random.default_rng(13)
-    e = np.geomspace(3e6, 2e7, rows)
-    emax_r = (e - 2e6) * awr / (awr + 1.0)
-    kn = np.linspace(1e3, emax_r, k, axis=-1)
-    pd = kn * np.exp(-kn / (emax_r[:, None] / 4.0))
-    pd /= np.trapezoid(pd, kn, axis=1)[:, None]
-    rr = np.full((rows, k), 0.35)
-    aa = 0.2 + 1.3 * kn / np.maximum(emax_r[:, None], 1.0)
-    bounds = np.exp(np.linspace(np.log(1e2), np.log(2e7), ng + 1))
-    muk = jnp.asarray(np.array([-1.0, 1.0]))
-    mup = jnp.zeros((rows, k, 2))
-    common = (
-        jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
-        jnp.asarray(aa), muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds), awr, PROD_ORDER,
+    rows, k = 16, 32
+    ng = PROD_NG
+    bounds = groups.get("uniform-lethargy-361").bounds if ng == 361 else np.exp(
+        np.linspace(np.log(1e2), np.log(2e7), ng + 1)
     )
-    got = cm_moments_pointwise(*common, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
-    ref = cm_moments_pointwise(*common, 16, 16, "kalbach", "tabular", True, 8, 0, "panels")
-    r = _family_gate(got, ref)
 
-    # Small-aa probe (round-4 advisor finding): at the a=0 clamp a law-44
-    # row is isotropic to O(a), so the independent reference is the
-    # isotropic angular path AT THE SAME quadrature — a formula-level
-    # regression in pa (e.g. the e^a - e^-a cancellation, ~5e-5 at the
-    # clamp) shows here, where the two-quadrature comparison above cannot
-    # see it (both legs share the pa formula elementwise).
-    small = (
-        jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
-        jnp.zeros_like(jnp.asarray(aa)), muk, mup, jnp.zeros(rows), 0.0,
+    def payload(awr):
+        e = np.geomspace(3e6, 2e7, rows)  # top rows straddle bounds[-1]
+        emax_r = (e - 2e6) * awr / (awr + 1.0)
+        kn = np.linspace(1e3, emax_r, k, axis=-1)
+        pd = kn * np.exp(-kn / (emax_r[:, None] / 4.0))
+        pd /= np.trapezoid(pd, kn, axis=1)[:, None]
+        rr = np.full((rows, k), 0.35)
+        aa = 0.2 + 1.3 * kn / np.maximum(emax_r[:, None], 1.0)
+        return e, kn, pd, rr, aa
+
+    gates = []
+    small_gates = []
+    for awr in (1.5, 238.0):
+        e, kn, pd, rr, aa = payload(awr)
+        muk = jnp.asarray(np.array([-1.0, 1.0]))
+        mup = jnp.zeros((rows, k, 2))
+        common = (
+            jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
+            jnp.asarray(aa), muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds), awr, PROD_ORDER,
+        )
+        got = cm_moments_pointwise(*common, 10, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
+        ref = cm_moments_pointwise(*common, 16, 16, "kalbach", "tabular", True, 8, 0, "panels")
+        gates.append(_family_gate(got, ref))
+
+        # Small-aa probe (round-4 advisor finding): at the a=0 clamp a
+        # law-44 row is isotropic to O(a), so the independent reference is
+        # the isotropic angular path AT THE SAME quadrature — a
+        # formula-level regression in pa (e.g. the e^a - e^-a
+        # cancellation, ~5e-5 at the clamp) shows here, where the
+        # two-quadrature comparison above cannot see it (both legs share
+        # the pa formula elementwise).
+        small = (
+            jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
+            jnp.zeros_like(jnp.asarray(aa)), muk, mup, jnp.zeros(rows), 0.0,
+            jnp.asarray(bounds), awr, PROD_ORDER,
+        )
+        got0 = cm_moments_pointwise(*small, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
+        ref0 = cm_moments_pointwise(*small, 8, 8, "isotropic", "tabular", True, 8, 0, "lagrange")
+        small_gates.append(_family_gate(got0, ref0))
+
+    # tabular-angle leg (law 61-class payload) at the driver's nq_w=16
+    awr = 55.4
+    e, kn, pd, _, _ = payload(awr)
+    kmu = 9
+    muk_t = np.linspace(-1.0, 1.0, kmu)
+    rng = np.random.default_rng(13)
+    mup_t = np.abs(0.5 + 0.2 * rng.standard_normal((rows, k, kmu)))
+    mup_t /= np.trapezoid(mup_t, muk_t, axis=2)[:, :, None]
+    common_t = (
+        jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd),
+        jnp.zeros((rows, k)), jnp.zeros((rows, k)),
+        jnp.asarray(muk_t), jnp.asarray(mup_t), jnp.zeros(rows), 0.0,
         jnp.asarray(bounds), awr, PROD_ORDER,
     )
-    got0 = cm_moments_pointwise(*small, 8, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
-    ref0 = cm_moments_pointwise(*small, 8, 8, "isotropic", "tabular", True, 8, 0, "lagrange")
-    r0 = _family_gate(got0, ref0)
+    # production setting (panels 32/8 — see continuum_driver) vs a
+    # higher-quadrature reference (panels 40/16); the lagrange-vs-panels
+    # split-machinery cross-check is carried by the kalbach legs above
+    got_t = cm_moments_pointwise(*common_t, 32, 8, "tabular", "tabular", True, 8, 0, "panels")
+    ref_t = cm_moments_pointwise(*common_t, 40, 16, "tabular", "tabular", True, 8, 0, "panels")
+    gates.append(_family_gate(got_t, ref_t))
+
+    r0 = _worst(small_gates)
     return {
-        **r,
+        **_worst(gates),
         "small_aa_max_abs": r0["max_abs"],
         "small_aa_ok": r0["ok"],
-        "ok": r["ok"] and r0["ok"],
+        "ok": _worst(gates)["ok"] and r0["ok"],
         "rows": rows,
+        "groups": ng,
+        "awr": [1.5, 238.0, 55.4],
     }
 
 
 def check_chi() -> dict:
-    """Tabular chi collapse kernel vs an exact host integral (independent)."""
+    """Tabular chi collapse kernel vs an exact host integral (independent),
+    at the production group count (round-3 verdict Weak #4)."""
     import jax.numpy as jnp
 
     from ndpp_tpu.ops.chi import tabular_group_fractions
 
-    rows, k, ng = 16, 24, 48
+    rows, k, ng = 16, 24, PROD_NG
     rng = np.random.default_rng(11)
     kn = np.sort(rng.uniform(1e2, 2e6, size=(rows, k)), axis=1)
     pd = rng.uniform(0.2, 1.0, size=(rows, k))
