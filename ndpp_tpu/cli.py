@@ -182,9 +182,24 @@ def _cmd_selfcheck(args) -> int:
 
 
 def _cmd_groups(args) -> int:
+    if args.name == "import":
+        if not args.file:
+            print("usage: ndpp groups import <boundary-file> [--name NAME] [--dir DIR]")
+            return 2
+        g = groups_mod.import_table(args.file, args.import_name, args.import_dir)
+        dest = (
+            groups_mod.user_groups_dir() if args.import_dir is None else args.import_dir
+        )
+        print(f"imported '{g.name}': {g.ng} groups -> {dest}")
+        for k, v in g.meta.items():
+            print(f"  {k}: {v}")
+        print(f"use it in a deck as: groups = \"{g.name}\"")
+        return 0
     if args.name:
         g = groups_mod.get(args.name)
         print(f"# {g.name}: {g.ng} groups, checksum {g.checksum()}")
+        for k, v in g.meta.items():
+            print(f"# {k}: {v}")
         for b in g.bounds:
             print(f"{b:.12e}")
     else:
@@ -245,8 +260,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--nq", type=int, default=16)
     ps.set_defaults(fn=_cmd_selfcheck)
 
-    pg = sub.add_parser("groups", help="list group structures / dump boundaries")
-    pg.add_argument("name", nargs="?")
+    pg = sub.add_parser("groups", help="list group structures / dump boundaries / import a table")
+    pg.add_argument("name", nargs="?", help="structure name to dump, or 'import'")
+    pg.add_argument("file", nargs="?", help="boundary file for 'import' (one eV boundary per line)")
+    pg.add_argument("--name", dest="import_name", default=None, help="installed name for 'import'")
+    pg.add_argument("--dir", dest="import_dir", default=None, help="install dir (default NDPP_GROUPS_DIR)")
     pg.set_defaults(fn=_cmd_groups)
 
     args = p.parse_args(argv)

@@ -81,6 +81,9 @@ class HDF5LibraryWriter:
             g.attrs["units"] = "eV"
             g.attrs["convention"] = "ascending"
             g.attrs["checksum"] = gs.checksum()
+            for k, v in gs.meta.items():
+                # provenance of imported boundary tables (groups.import_table)
+                g.attrs[f"provenance_{k}"] = str(v)
             self.f.create_dataset("temperatures", data=np.asarray(temperatures, dtype=np.float64))
             self.f.create_group("nuclides")
 
@@ -151,6 +154,8 @@ class AsciiLibraryWriter:
             w(f"temperatures {len(temperatures)} " + " ".join(f"{t:.17E}" for t in temperatures) + "\n")
             w(f"group_structure {gs.name} {gs.ng}\n")
             self._write_array(gs.bounds)
+            if gs.meta:
+                w("group_provenance " + json.dumps(gs.meta, sort_keys=True) + "\n")
 
     def _write_array(self, arr: np.ndarray) -> None:
         # 17 significant digits: a float64 round-trips exactly through the
@@ -386,6 +391,8 @@ def read_ascii(path: str | Path) -> tuple[dict[str, np.ndarray], dict]:
                     datasets.update(pending)
                     attrs.update(pending_attrs)
                 nuclide = None
+            elif key == "group_provenance":
+                attrs["group_provenance"] = json.loads(line[len("group_provenance ") :])
             elif key == "metrics":
                 attrs["metrics"] = json.loads(line[len("metrics ") :])
             elif key == "end_library":

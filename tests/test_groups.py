@@ -39,3 +39,58 @@ def test_uniform_lethargy_is_log_uniform():
     g = groups.uniform_lethargy("x", 10, 1.0, 1e5)
     ratios = g.bounds[1:] / g.bounds[:-1]
     assert np.allclose(ratios, ratios[0], rtol=1e-12)
+
+
+def test_import_table_roundtrip_and_provenance(tmp_path, monkeypatch):
+    """ndpp groups import (round-3 verdict Next #8): a user boundary file
+    installs under a name — including a published name — with source +
+    checksum provenance; get() resolves it; a sweep's library metadata
+    carries the provenance block. No boundary data is fabricated: the
+    'published' table here is user-supplied."""
+    monkeypatch.setenv("NDPP_GROUPS_DIR", str(tmp_path / "gdir"))
+    src = tmp_path / "user-shem.txt"
+    bounds = np.exp(np.linspace(np.log(1e-5), np.log(2e7), 362))
+    src.write_text("# candidate shem boundaries (user-supplied)\n" + "\n".join(f"{b:.17E}" for b in bounds))
+
+    g = groups.import_table(src, name="shem-361")
+    assert g.ng == 361
+    assert g.meta["source_sha256"]
+    assert str(src.resolve()) in g.meta["source"]
+
+    # the previously-refused published name now resolves, bit-identically
+    g2 = groups.get("shem-361")
+    np.testing.assert_array_equal(g2.bounds, g.bounds)
+    assert g2.checksum() == g.checksum()
+    assert "shem-361" in groups.names()
+
+    # a sweep carries the provenance into both output formats
+    from ndpp_tpu import config as config_mod
+    from ndpp_tpu import driver
+    from ndpp_tpu.host.ace import synth
+    from ndpp_tpu.host.ace.write import write_ace
+    from ndpp_tpu.io.library import read_ascii
+
+    import h5py
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    nuc = synth.h1_like(n_energy=24)
+    p = write_ace(nuc, lib / "h1.ace")
+    (lib / "xsdir").write_text(f"directory\n{nuc.name} {nuc.awr:.6f} {p.name} 0 1 1 0\n")
+    cfg = config_mod.RunConfig(
+        nuclides=[nuc.name], library=str(lib / "xsdir"), groups="shem-361",
+        legendre_order=0, temperatures=[293.6], thermal_cutoff_kt=1e-9,
+    )
+    cfg.output.path = str(tmp_path / "out.h5")
+    cfg.output.format = "both"
+    cfg.device.e_tile = 32
+    cfg.validate()
+    m = driver.run(cfg)
+    assert m.nuclides_done == 1
+    with h5py.File(cfg.output.path) as f:
+        gg = f["group_structure"]
+        assert gg.attrs["name"] == "shem-361"
+        assert gg.attrs["provenance_source_sha256"] == g.meta["source_sha256"]
+        assert gg["bounds"].shape == (362,)
+    _, attrs = read_ascii(tmp_path / "out.txt")
+    assert attrs["group_provenance"]["source_sha256"] == g.meta["source_sha256"]
