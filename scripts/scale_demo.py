@@ -14,14 +14,18 @@ multi-temperature, S(alpha,beta) assignments on H-1:
          this container's persistent cache, so warm must mean "same
          process", not "second invocation").
 
-Round 4: each pass runs as a SUPERVISED CHILD PROCESS with the sweep
-watchdog armed (config.device.watchdog_minutes). The remote dispatch
-layer wedged the warm pass in rounds 2 (65/300) and 3 (137/300) on an
-RPC that never returned; now the watchdog exits the child with code 4
+Round 4: BOTH passes run inside ONE supervised child process (the warm
+pass needs the cold pass's live in-process jit cache — big-kernel
+executables do not persist on this container) with the sweep watchdog
+armed (config.device.watchdog_minutes). The remote dispatch layer
+wedged the warm pass in rounds 2 (65/300) and 3 (137/300) on an RPC
+that never returned; now the watchdog exits the child with code 4
 (stack dump on stderr) and the supervisor restarts it with --resume
-until the pass completes or --max-restarts is exhausted. Restarted
-segments pay fresh compiles — per-nuclide phase-span log lines let the
-steady-state rate be pinned from the unpolluted stretches.
+until both passes complete or --max-restarts is exhausted: completed
+passes skip through resume bookkeeping in seconds, and the interrupted
+pass continues. Restarted segments pay fresh compiles — per-nuclide
+phase-span log lines let the steady-state rate be pinned from the
+unpolluted stretches.
 
 Prints one JSON line per pass plus a summary line; exits nonzero if any
 nuclide quarantines. Usage:
@@ -106,42 +110,49 @@ def make_cfg(args, xsdir: Path, out_path: Path, resume: bool):
     return cfg
 
 
-def run_one_pass(args, which: str, resume: bool) -> int:
-    """Child mode: one pass in THIS process (the jit cache lives and dies
-    with the pass); the armed watchdog may os._exit(4) under a wedge."""
+def run_passes(args, passes: list[str], resume: bool) -> int:
+    """Child mode: ALL passes sequentially in THIS process — the warm pass
+    inherits the cold pass's live jit cache. The armed watchdog may
+    os._exit(4) under a wedge; on the supervisor's resumed restart,
+    already-complete passes skip through in seconds."""
     from ndpp_tpu import driver
     from ndpp_tpu.utils import log as log_mod
 
     log_mod.setup(level=20)
     workdir = Path(args.workdir)
     xsdir = build_library(workdir, args.nuclides)
-    cfg = make_cfg(args, xsdir, workdir / f"library_{which}.h5", resume)
-    t0 = time.perf_counter()
-    m = driver.run(cfg)
-    wall = time.perf_counter() - t0
-    row = {
-        "pass": which,
-        "wall_s": round(wall, 1),
-        "nuclides_done": m.nuclides_done,
-        "quarantined": m.nuclides_quarantined,
-        "moments": m.moments_computed,
-        "moments_per_sec": round(m.moments_computed / max(wall, 1e-9), 1),
-        "padding_efficiency": m.padding_efficiency,
-        "phase_seconds": {k: round(v, 1) for k, v in m.phase_seconds.items()},
-    }
-    print("SCALE " + json.dumps(row), flush=True)
-    return 3 if m.nuclides_quarantined else 0
+    rc = 0
+    for which in passes:
+        cfg = make_cfg(args, xsdir, workdir / f"library_{which}.h5", resume)
+        t0 = time.perf_counter()
+        m = driver.run(cfg)
+        wall = time.perf_counter() - t0
+        row = {
+            "pass": which,
+            "wall_s": round(wall, 1),
+            "nuclides_done": m.nuclides_done,
+            "quarantined": m.nuclides_quarantined,
+            "moments": m.moments_computed,
+            "moments_per_sec": round(m.moments_computed / max(wall, 1e-9), 1),
+            "padding_efficiency": m.padding_efficiency,
+            "phase_seconds": {k: round(v, 1) for k, v in m.phase_seconds.items()},
+        }
+        print("SCALE " + json.dumps(row), flush=True)
+        if m.nuclides_quarantined:
+            rc = 3
+    return rc
 
 
-def supervise_pass(args, which: str, argv: list[str]) -> dict:
-    """Parent mode: run the pass as a child; restart with --resume on a
-    watchdog stall (exit 4) until done or --max-restarts is exhausted."""
+def supervise(args, passes: list[str], argv: list[str]) -> dict:
+    """Parent mode: run all passes in one child; restart it with --resume
+    on a watchdog stall (exit 4) until done or --max-restarts is
+    exhausted."""
     restarts = 0
-    resume = args.resume and which == "cold"
+    resume = args.resume
     rows: list[dict] = []
     t0 = time.perf_counter()
     while True:
-        cmd = [sys.executable, __file__, *argv, "--one-pass", which]
+        cmd = [sys.executable, __file__, *argv, "--child", ",".join(passes)]
         if resume:
             cmd.append("--resume")
         child = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
@@ -156,7 +167,7 @@ def supervise_pass(args, which: str, argv: list[str]) -> dict:
             restarts += 1
             resume = True
             print(
-                f"SUPERVISOR pass={which}: watchdog stall (exit {EXIT_STALL}) — "
+                f"SUPERVISOR: watchdog stall (exit {EXIT_STALL}) — "
                 f"restart {restarts}/{args.max_restarts} with --resume",
                 flush=True,
             )
@@ -165,7 +176,6 @@ def supervise_pass(args, which: str, argv: list[str]) -> dict:
     done = sum(r.get("nuclides_done", 0) for r in rows)
     quarantined = sum(r.get("quarantined", 0) for r in rows)
     return {
-        "pass": which,
         "rc": rc,
         "restarts": restarts,
         "wall_s_total": round(time.perf_counter() - t0, 1),
@@ -188,14 +198,14 @@ def main() -> int:
     ap.add_argument("--e-tile", type=int, default=2048)
     ap.add_argument("--watchdog-minutes", type=float, default=25.0)
     ap.add_argument("--max-restarts", type=int, default=20)
-    ap.add_argument("--one-pass", default=None, help="(internal) child mode: run one pass in-process")
+    ap.add_argument("--child", default=None, help="(internal) child mode: run these passes in-process")
     args = ap.parse_args()
 
-    if args.one_pass is not None:
-        return run_one_pass(args, args.one_pass, args.resume)
+    if args.child is not None:
+        return run_passes(args, args.child.split(","), args.resume)
 
-    # rebuild the child argv from parsed args (drop --resume/--one-pass:
-    # the supervisor owns both)
+    # rebuild the child argv from parsed args (drop --resume/--child: the
+    # supervisor owns both)
     argv = [
         "--nuclides", str(args.nuclides),
         "--temps", *[str(t) for t in args.temps],
@@ -207,14 +217,10 @@ def main() -> int:
         "--watchdog-minutes", str(args.watchdog_minutes),
     ]
     build_library(Path(args.workdir), args.nuclides)  # build once, host-only
-    results = {}
-    rc = 0
-    for which in ["cold"] if args.cold_only else ["cold", "warm"]:
-        row = supervise_pass(args, which, argv)
-        results[which] = row
-        if row["rc"] != 0 or row["quarantined_total"]:
-            rc = rc or (row["rc"] if row["rc"] != 0 else 3)
-    print("SCALE_SUMMARY " + json.dumps(results), flush=True)
+    passes = ["cold"] if args.cold_only else ["cold", "warm"]
+    row = supervise(args, passes, argv)
+    rc = row["rc"] if row["rc"] != 0 else (3 if row["quarantined_total"] else 0)
+    print("SCALE_SUMMARY " + json.dumps(row), flush=True)
     return rc
 
 
