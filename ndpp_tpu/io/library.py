@@ -67,8 +67,28 @@ class HDF5LibraryWriter:
     ):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        mode = "a" if (resume and self.path.exists()) else "w"
-        self.f = h5py.File(self.path, mode)
+        if resume and self.path.exists():
+            try:
+                self.f = h5py.File(self.path, "a")
+            except OSError:
+                # A hard kill mid-write (watchdog os._exit, SIGKILL, power
+                # loss) can corrupt the HDF5 superblock, and an unattended
+                # resume must not die on it: quarantine the corrupt file
+                # under a .corrupt-<unix time> suffix and start fresh.
+                import time as _time
+
+                bad = self.path.with_name(f"{self.path.name}.corrupt-{int(_time.time())}")
+                self.path.rename(bad)
+                from ndpp_tpu.utils import log as log_mod
+
+                log_mod.get().warning(
+                    "resume target %s is unreadable HDF5 — moved to %s, starting fresh",
+                    self.path,
+                    bad.name,
+                )
+                self.f = h5py.File(self.path, "w")
+        else:
+            self.f = h5py.File(self.path, "w")
         if "group_structure" not in self.f:
             self.f.attrs["format_version"] = LIBRARY_FORMAT_VERSION
             self.f.attrs["ndpp_tpu_version"] = __version__

@@ -406,3 +406,17 @@ def test_writer_fault_with_full_queue_aborts(small_library, tmp_path, monkeypatc
     assert not t.is_alive(), "driver.run deadlocked on writer shutdown"
     assert result["outcome"].startswith("raised: disk full"), result
     monkeypatch.setattr(HDF5LibraryWriter, "write_nuclide", real_write)
+
+
+def test_resume_quarantines_corrupt_hdf5(small_library, tmp_path):
+    """A hard kill mid-write (watchdog os._exit) can corrupt the HDF5
+    superblock; an unattended --resume must quarantine the corrupt file
+    and start fresh instead of dying (round-4 scale-run finding)."""
+    cfg = _cfg(small_library, tmp_path, nuclides=["1001.80c"])
+    (tmp_path / "lib.h5").write_bytes(b"\x89HDF\r\n corrupted beyond recognition")
+    cfg.resume = True
+    m = driver.run(cfg)
+    assert m.nuclides_done == 1
+    assert list(tmp_path.glob("lib.h5.corrupt-*"))
+    with h5py.File(cfg.output.path) as f:
+        assert f["nuclides"]["1001.80c"].attrs["complete"] == 1
