@@ -135,9 +135,49 @@ def _kernel_fn():
     return twobody_moments
 
 
+def _band_windows(preps, idxs, bounds):
+    """Per-row boundary-window plan for one pooled knot bucket, or None.
+
+    Each two-body row's outgoing reach is closed-form:
+    E'_lab(mu = -+1) = (sqrt(E'_cm) -+ sqrt(E)/(A+1))^2 — so the set of
+    group boundaries a row can hit is a contiguous window. Banding pays on
+    heavy nuclides (band width ~ ln(1/alpha) in lethargy: a handful of the
+    361 groups), where it cuts BOTH the kernel's panel lanes (S = K + B
+    + 11 instead of K + G + 11) and the fetched bytes (B/G of the dense
+    row) — the measured end-to-end bound (BASELINE.md round 4). Light
+    nuclides (wide reach) return None and keep the dense path.
+
+    Returns (B, g0_all (NE,)) with B a pow2 bucket; the window is clipped
+    into [0, ng - B] so it always covers each row's [g_lo, g_hi].
+    """
+    ng = bounds.size - 1
+    g_lo_parts = []
+    g_hi_parts = []
+    for i in idxs:
+        p = preps[i]
+        ecm = p.c2 * (p.e - p.c1)
+        valid = ecm > 0
+        ecm = np.where(valid, ecm, 1.0)
+        root = np.sqrt(p.e * ecm)
+        lo = np.where(valid, ecm + p.e / (p.awr + 1.0) ** 2 - 2.0 * root / (p.awr + 1.0), 0.0)
+        hi = np.where(valid, ecm + p.e / (p.awr + 1.0) ** 2 + 2.0 * root / (p.awr + 1.0), 1.0)
+        g_lo_parts.append(np.searchsorted(bounds, np.maximum(lo, 0.0), side="right") - 1)
+        g_hi_parts.append(np.searchsorted(bounds, hi, side="left"))
+    # one safety group each side absorbs breakpoint roundoff
+    g_lo = np.clip(np.concatenate(g_lo_parts) - 1, 0, ng - 1)
+    g_hi = np.clip(np.concatenate(g_hi_parts) + 1, 1, ng)
+    width = int((g_hi - g_lo).max())
+    b_w = unionize.bucket_pow2(width, lo=16)
+    if b_w >= ng // 2:
+        return None  # wide reach: the dense path is as good and simpler
+    g0 = np.clip(g_lo, 0, ng - b_w)
+    return b_w, g0
+
+
 def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True):
     """Batched two-body dispatch: ALL reactions sharing a knot bucket ride
-    ONE row pool (round 3).
+    ONE row pool (round 3), with per-row group-band windows where the
+    kinematic reach is narrow (round 4; see _band_windows).
 
     The kernel takes per-row (c1, c2, awr), so rows from different
     reactions (and different incident sub-grids) concatenate freely; the
@@ -145,7 +185,9 @@ def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True
     per-(knot-bucket x tile) — the warm profile showed per-dispatch tunnel
     latency, not device FLOPs, dominating the two-body wait.
 
-    preps: list of TwoBodyPrepared. Returns a list of (NE_i, L+1, G).
+    preps: list of TwoBodyPrepared. Returns a list of (moments, g0) pairs:
+    g0 is None for dense (NE_i, L+1, G) results, else the (NE_i,) window
+    offsets of banded (NE_i, L+1, B) results.
     """
     from ndpp_tpu.parallel import rows as rows_mod
 
@@ -159,9 +201,9 @@ def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True
         if metrics is not None:
             metrics.record_padding(prep.real_elements, prep.padded_elements)
 
-    outs: list[np.ndarray | None] = [None] * len(preps)
+    outs: list[tuple[np.ndarray, np.ndarray | None] | None] = [None] * len(preps)
     pending = []  # (buffer, start, length, device result)
-    slices = []  # (bucket buffer, prep index, row offset)
+    slices = []  # (bucket buffer, g0_all | None, prep index, row offset)
     with RunMetrics.span_or_null(metrics, "dispatch.twobody"):
         for k16, idxs in sorted(buckets.items()):
             e_all = np.concatenate([preps[i].e for i in idxs])
@@ -172,18 +214,33 @@ def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True
             aw_all = np.concatenate([np.full(preps[i].e.size, preps[i].awr) for i in idxs])
             ne = e_all.size
             tile = rows_mod.tile_for(ne, tile_cap)
-            buf = np.empty((ne, order + 1, ng))
+            band = _band_windows(preps, idxs, bounds)
+            if band is None:
+                gw, g0_all = ng, None
+                bounds_rows = None
+            else:
+                gw, g0_all = band
+                # per-row boundary windows, gathered host-side (cheap)
+                bounds_rows = bounds[g0_all[:, None] + np.arange(gw + 1)[None, :]]
+            buf = np.empty((ne, order + 1, gw))
             off = 0
             for i in idxs:
-                slices.append((buf, i, off))
+                slices.append((buf, g0_all, i, off))
                 off += preps[i].e.size
             for start, length in unionize.tile_indices(ne, tile):
                 sl = slice(start, start + length)
+                b_arg = (
+                    b
+                    if bounds_rows is None
+                    else rows_mod.put_rows(
+                        unionize.pad_to(bounds_rows[sl], tile, mode="edge")
+                    )
+                )
                 res = kernel_fn(
                     rows_mod.put_rows(unionize.pad_to(e_all[sl], tile)),
                     rows_mod.put_rows(unionize.pad_to(kn_all[sl], tile)),
                     rows_mod.put_rows(unionize.pad_to(pd_all[sl], tile)),
-                    b,
+                    b_arg,
                     rows_mod.put_rows(unionize.pad_to(c1_all[sl], tile)),
                     rows_mod.put_rows(unionize.pad_to(c2_all[sl], tile)),
                     rows_mod.put_rows(unionize.pad_to(aw_all[sl], tile)),
@@ -195,9 +252,22 @@ def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True
     with RunMetrics.span_or_null(metrics, "wait.twobody"):
         for buf, start, length, res in pending:
             buf[start : start + length] = np.asarray(res)[:length]
-    for buf, i, off in slices:
-        outs[i] = buf[off : off + preps[i].e.size]
+    for buf, g0_all, i, off in slices:
+        n_i = preps[i].e.size
+        g0_i = None if g0_all is None else g0_all[off : off + n_i]
+        outs[i] = (buf[off : off + n_i], g0_i)
     return outs
+
+
+def densify_banded(mom: np.ndarray, g0: np.ndarray | None, ng: int) -> np.ndarray:
+    """Banded (NE, L+1, B) + per-row offsets -> dense (NE, L+1, G)."""
+    if g0 is None:
+        return mom
+    n, lp1, gw = mom.shape
+    out = np.zeros((n, lp1, ng))
+    cols = g0[:, None] + np.arange(gw)[None, :]
+    out[np.arange(n)[:, None, None], np.arange(lp1)[None, :, None], cols[:, None, :]] = mom
+    return out
 
 
 def scattering_moments(
@@ -229,10 +299,20 @@ def scattering_moments(
         sigma_s = np.sum([sigma_by_rxn[r.mt] for r in rxns], axis=0)
     accum = np.zeros((ne, order + 1, gs.ng))
 
-    def _accumulate(rxn, i0, mom):
+    def _accumulate(rxn, i0, mom, g0=None):
         yld = reaction_yield(rxn, e_grid, cfg.include_yield)
         w = np.where(sigma_s > 0, sigma_by_rxn[rxn.mt] / np.where(sigma_s > 0, sigma_s, 1.0), 0.0)
-        accum[i0:] += (w * yld)[i0:, None, None] * mom
+        wy = (w * yld)[i0:, None, None]
+        if g0 is None:
+            accum[i0:] += wy * mom
+            return
+        # banded result: add each row's (L+1, B) block at its window offset
+        # (unique (row, l, group) triples — fancy-indexed += is exact)
+        n, lp1, gw = mom.shape
+        cols = g0[:, None] + np.arange(gw)[None, :]
+        accum[i0:][
+            np.arange(n)[:, None, None], np.arange(lp1)[None, :, None], cols[:, None, :]
+        ] += wy * mom
 
     tb_items: list[tuple[Reaction, int, object]] = []
     cont_items: list[tuple[Reaction, int]] = []
@@ -278,8 +358,8 @@ def scattering_moments(
             [p for _, _, p in tb_items], gs.bounds, order, cfg.device.quad_points,
             tile, metrics, cfg.clamp_outside,
         )
-        for (rxn, i0, _), mom in zip(tb_items, outs):
-            _accumulate(rxn, i0, mom)
+        for (rxn, i0, _), (mom, g0) in zip(tb_items, outs):
+            _accumulate(rxn, i0, mom, g0)
     return accum, sigma_s
 
 

@@ -168,10 +168,14 @@ def apply_freegas(
     if not plans:
         return scatter
 
-    # batched 0K elastic for ALL temperatures (one dispatch set)
-    f0k_all = driver_mod._tiled_twobody_multi(
-        zero_k_preps, gs.bounds, order, cfg.device.quad_points, 256, metrics, cfg.clamp_outside
-    )
+    # batched 0K elastic for ALL temperatures (one dispatch set); banded
+    # results (heavy-A narrow reach) densify on host for the combine
+    f0k_all = [
+        driver_mod.densify_banded(mom, g0, gs.ng)
+        for mom, g0 in driver_mod._tiled_twobody_multi(
+            zero_k_preps, gs.bounds, order, cfg.device.quad_points, 256, metrics, cfg.clamp_outside
+        )
+    ]
 
     # Pass 2: wait on the scattering-law tiles and combine per temperature
     for (k, kt, rows, sub_idx, e_sub, w, ffg, pending), f0k in zip(plans, f0k_all):

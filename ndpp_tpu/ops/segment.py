@@ -37,7 +37,8 @@ def segment_group_sum(m, values, bounds, clamp: bool):
     values: (T, S) per-segment classification values, NON-DECREASING along
             S in every row. Padded/dead segments must carry m == 0 and a
             value that preserves the ordering (+inf tail pads are fine).
-    bounds: (G+1,) ascending group boundaries.
+    bounds: (G+1,) ascending group boundaries, or PER-ROW (T, B+1) windows
+            (the banded two-body path).
     clamp:  True  — outermost boundaries catch everything (standard
                     multigroup edge semantics: below-range mass lands in
                     group 0, above-range in group G-1);
@@ -45,18 +46,20 @@ def segment_group_sum(m, values, bounds, clamp: bool):
                     (the prefix-difference structure excludes them with no
                     explicit mask).
     """
-    ng = bounds.shape[0] - 1
+    if bounds.ndim == 1:
+        bounds = jnp.broadcast_to(bounds[None, :], (m.shape[0], bounds.shape[0]))
+    ng = bounds.shape[1] - 1
     if clamp:
-        lo_b = jnp.full((1,), -jnp.inf, dtype=bounds.dtype)
-        hi_b = jnp.full((1,), jnp.inf, dtype=bounds.dtype)
-        eff = jnp.concatenate([lo_b, bounds[1:-1], hi_b])
+        ninf = jnp.full((bounds.shape[0], 1), -jnp.inf, dtype=bounds.dtype)
+        pinf = jnp.full((bounds.shape[0], 1), jnp.inf, dtype=bounds.dtype)
+        eff = jnp.concatenate([ninf, bounds[:, 1:-1], pinf], axis=1)
     else:
         eff = bounds
     c = jnp.cumsum(m, axis=2)  # (T, C, S)
     # p[t, j] = #segments with value < boundary j (ties -> upper group,
     # matching searchsorted side="right" classification)
     pj = jnp.sum(
-        (values[:, None, :] < eff[None, :, None]).astype(jnp.int32), axis=2
+        (values[:, None, :] < eff[:, :, None]).astype(jnp.int32), axis=2
     )  # (T, G+1)
     sel = _select_at(c, pj)  # (T, C, G+1): C[p_j - 1], 0 where p_j == 0
     out = sel[:, :, 1:] - sel[:, :, :-1]

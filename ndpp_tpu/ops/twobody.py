@@ -126,14 +126,21 @@ def twobody_panels(e, knots, pdf, bounds, c1, c2, awr, clamp: bool):
 
     # Group-boundary breakpoints in mu_cm, clipped into [-1, 1]. Under
     # clamping the outermost boundaries are pushed to +-inf so the edge
-    # groups swallow out-of-range outgoing energies.
-    if clamp:
-        lo_b = jnp.full((1,), -jnp.inf, dtype=bounds.dtype)
-        hi_b = jnp.full((1,), jnp.inf, dtype=bounds.dtype)
-        eff_bounds = jnp.concatenate([lo_b, bounds[1:-1], hi_b])
+    # groups swallow out-of-range outgoing energies. `bounds` may be the
+    # shared (G+1,) table or PER-ROW (T, B+1) windows (the banded path:
+    # each row carries only the boundaries its kinematic reach can hit —
+    # round 4, device-bytes/fetch reduction).
+    if bounds.ndim == 1:
+        bounds2 = jnp.broadcast_to(bounds[None, :], (e.shape[0], bounds.shape[0]))
     else:
-        eff_bounds = bounds
-    brk = (eff_bounds[None, :] - base[:, None]) / slope[:, None]  # (T, G+1)
+        bounds2 = bounds
+    if clamp:
+        ninf = jnp.full((bounds2.shape[0], 1), -jnp.inf, dtype=bounds2.dtype)
+        pinf = jnp.full((bounds2.shape[0], 1), jnp.inf, dtype=bounds2.dtype)
+        eff_bounds = jnp.concatenate([ninf, bounds2[:, 1:-1], pinf], axis=1)
+    else:
+        eff_bounds = bounds2
+    brk = (eff_bounds - base[:, None]) / slope[:, None]  # (T, G+1 | B+1)
     brk = jnp.clip(brk, -1.0, 1.0)
 
     # Graded refinement near mu_cm = -1: when E'_lab(-1) ~ 0 (elastic on
@@ -203,7 +210,10 @@ def twobody_moments(e, knots, pdf, bounds, c1, c2, awr, order: int, nq: int = 16
       knots:  (T, K) mu_cm knots of the piecewise-linear p(mu|E) (padded by
               repeating the last knot).
       pdf:    (T, K) pdf values at the knots.
-      bounds: (G+1,) ascending group boundaries (eV).
+      bounds: (G+1,) ascending group boundaries (eV), or per-row (T, B+1)
+              boundary WINDOWS covering each row's kinematic reach (the
+              banded path — the result's group axis is then window-local
+              and the caller owns the per-row offsets).
       c1, c2: reaction kinematic constants (eV, -); scalars.
       awr:    atomic weight ratio A; scalar.
       order:  max Legendre order L (static).

@@ -178,3 +178,42 @@ def test_segment_scatter_matches_reference_scatter():
             tb.twobody_scatter(m, mid, half, base, slope, valid_e, jnp.asarray(G47.bounds), clamp)
         )
         np.testing.assert_allclose(new, ref, rtol=1e-12, atol=1e-14, err_msg=f"clamp={clamp}")
+
+
+def test_banded_windows_match_dense_driver():
+    """Per-row group-band windows (round 4): a heavy-ish nuclide's two-body
+    moments through the banded dispatch must match the dense path at
+    roundoff. The banded kernel sees the identical live panel structure
+    (out-of-reach breakpoints clip to +-1 as dead panels in the dense
+    edge set), so this is a reordering of the same arithmetic."""
+    import ndpp_tpu.driver as driver_mod
+    from ndpp_tpu import config as config_mod
+    from ndpp_tpu import groups
+    from ndpp_tpu.host.ace import synth
+
+    nuc = synth.o16_like(n_energy=48)
+    gs = groups.get("uniform-lethargy-172")
+    cfg = config_mod.RunConfig(legendre_order=3, temperatures=[293.6], thermal_cutoff_kt=1e-9)
+    cfg.device.e_tile = 64
+    e_grid = nuc.energy
+
+    banded, _ = driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
+
+    real_bw = driver_mod._band_windows
+    # confirm banding actually engaged for this nuclide, then force dense
+    engaged = []
+
+    def spy(preps, idxs, bounds):
+        r = real_bw(preps, idxs, bounds)
+        engaged.append(r is not None)
+        return r
+
+    driver_mod._band_windows = spy
+    try:
+        driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
+        assert any(engaged), "banding never engaged on the heavy-A fixture"
+        driver_mod._band_windows = lambda preps, idxs, bounds: None
+        dense, _ = driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
+    finally:
+        driver_mod._band_windows = real_bw
+    np.testing.assert_allclose(banded, dense, rtol=1e-13, atol=1e-15)
