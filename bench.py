@@ -260,17 +260,10 @@ def main() -> None:
         dd_rate, _ = _rate(
             lambda e_arr: twobody_moments_dd(e_arr, *args, ORDER, NQ), e0, 1e-13, tb_moments
         )
-    if on_tpu and in_budget():
-        from ndpp_tpu import selfcheck
-
-        try:
-            detail["selfcheck"] = selfcheck.run(
-                tile=TILE, order=ORDER, ng=NG, nq=NQ, e0=e0, args=args
-            )
-        except Exception as e:  # never lose the JSON line to the gate itself
-            detail["selfcheck"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-
-    # per-family f64 rates + composite (round-1 verdict item 3)
+    # per-family f64 rates + composite (round-1 verdict item 3) — BEFORE
+    # the selfcheck gate: the round-4 production-shaped family gates cost
+    # several extra compiles, and a budget overrun there must not lose the
+    # composite (the gate still fails the bench loudly afterwards)
     family_rates: dict = {}
     for name, fn in (("freegas", _freegas_rate), ("continuum", _continuum_rate), ("chi", _chi_rate)):
         if not in_budget():
@@ -282,6 +275,16 @@ def main() -> None:
             family_rates[name] = None
             detail[f"{name}_error"] = f"{type(e).__name__}: {e}"
     detail.update({f"{k}_f64_moments_per_sec": round(v, 1) for k, v in family_rates.items() if v})
+
+    if on_tpu and in_budget():
+        from ndpp_tpu import selfcheck
+
+        try:
+            detail["selfcheck"] = selfcheck.run(
+                tile=TILE, order=ORDER, ng=NG, nq=NQ, e0=e0, args=args
+            )
+        except Exception as e:  # never lose the JSON line to the gate itself
+            detail["selfcheck"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
 
     tb_best = max([r for r in (f64_rate, dd_rate) if r]) if (f64_rate or dd_rate) else None
     if tb_best and all(family_rates.get(k) for k in ("freegas", "continuum", "chi")):
