@@ -288,7 +288,12 @@ def scattering_moments(
     rxns = nuc.scattering_reactions(include_fission=False)
     ne = e_grid.size
     order = cfg.legendre_order
-    tile = min(cfg.device.e_tile, ne)
+    # the tile CAP is e_tile itself, never min(e_tile, ne): tile_for's
+    # {cap/16, cap/4, cap} ladder needs a canonical cap to keep compiled
+    # shapes scarce — min() made every nuclide with NE < e_tile its own
+    # never-seen tile shape, i.e. a fresh ~100 s remote compile per
+    # nuclide (round-4 cold-sweep regression at e_tile 2048)
+    tile = cfg.device.e_tile
     sigma_by_rxn = {}
     with RunMetrics.span_or_null(metrics, "prep.sigma"):
         for rxn in rxns:
