@@ -282,7 +282,11 @@ def scattering_moments(
     f_{l,g'}(E) = sum_MT [ sigma_MT(E) y_MT(E) / sigma_scat(E) ] f^MT_{l,g'}(E)
     with sigma_scat = sum_MT sigma_MT (fission excluded; SURVEY.md section 3.1).
 
-    Returns (moments (NE, L+1, G), sigma_scatter (NE,)).
+    Returns (moments (NE, L+1, G), sigma_scatter (NE,), elastic0k):
+    elastic0k is (mom, g0, i0) — the UNWEIGHTED elastic moments (possibly
+    banded) kept for apply_freegas's 0K subtraction (round 4: reusing them
+    saves the 1-2 dispatch round-trips per nuclide that recomputing cost),
+    or None when the nuclide has no elastic channel.
     """
     log = log_mod.get()
     rxns = nuc.scattering_reactions(include_fission=False)
@@ -321,6 +325,7 @@ def scattering_moments(
 
     tb_items: list[tuple[Reaction, int, object]] = []
     cont_items: list[tuple[Reaction, int]] = []
+    elastic0k = None
     for rxn in rxns:
         # Threshold-row restriction (round 3): a reaction only contributes
         # where sigma_MT > 0, so the kernels run on e_grid[i0:] only (one
@@ -365,7 +370,12 @@ def scattering_moments(
         )
         for (rxn, i0, _), (mom, g0) in zip(tb_items, outs):
             _accumulate(rxn, i0, mom, g0)
-    return accum, sigma_s
+            if rxn.mt == 2:
+                # keep the UNWEIGHTED elastic moments: apply_freegas needs
+                # exactly these on its thermal rows and previously paid 1-2
+                # extra dispatch round-trips per nuclide recomputing them
+                elastic0k = (mom, g0, i0)
+    return accum, sigma_s, elastic0k
 
 
 def process_nuclide(
@@ -387,7 +397,7 @@ def process_nuclide(
     temps = np.asarray(cfg.temperatures, dtype=np.float64)
     nt = temps.size
 
-    base, sigma_s = scattering_moments(nuc, gs, cfg, e_grid, metrics)
+    base, sigma_s, elastic0k = scattering_moments(nuc, gs, cfg, e_grid, metrics)
     scatter = np.broadcast_to(base, (nt,) + base.shape).copy()
 
     # Bound-thermal S(alpha,beta) replacement (below each table's range),
@@ -402,7 +412,7 @@ def process_nuclide(
         scatter = apply_sab(scatter, nuc, gs, cfg, e_grid, matched, metrics)
         e_min_by_temp = sab_e_max(matched)
 
-    scatter = apply_freegas(scatter, nuc, gs, cfg, e_grid, metrics, e_min_by_temp)
+    scatter = apply_freegas(scatter, nuc, gs, cfg, e_grid, metrics, e_min_by_temp, elastic0k)
 
     res = NuclideResult(
         name=nuc.name,

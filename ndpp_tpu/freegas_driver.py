@@ -38,13 +38,27 @@ def doppler_sigma_ratio(e: np.ndarray, awr: float, kt: float) -> np.ndarray:
 
 
 def apply_freegas(
-    scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, metrics=None, e_min_by_temp=None
+    scatter: np.ndarray,
+    nuc,
+    gs,
+    cfg,
+    e_grid: np.ndarray,
+    metrics=None,
+    e_min_by_temp=None,
+    elastic0k=None,
 ) -> np.ndarray:
     """scatter: (NT, NE, L+1, G) 0K combined moments; returns the corrected array.
 
     e_min_by_temp: optional per-temperature lower limits (eV) below which the
     free-gas replacement is SKIPPED — rows there are owned by an S(alpha,beta)
     table (thermal_driver.apply_sab supersedes free-gas where tabulated).
+
+    elastic0k: optional (mom, g0, i0) from scattering_moments — the
+    UNWEIGHTED 0K elastic moments already computed on e_grid[i0:] (possibly
+    banded). When present and the exact per-row path is active, the thermal
+    rows are SLICED from it instead of re-dispatched (round 4: the
+    recompute cost 1-2 dispatch round-trips per nuclide on the warm
+    profile for values the main pool already fetched).
     """
     import jax.numpy as jnp
 
@@ -159,23 +173,43 @@ def apply_freegas(
                     rows_mod.put_rows(e_t), nuc.awr, kt, bounds_pw, order
                 )
                 pending.append((start, length, part))
-        from ndpp_tpu.host.prep import prepare_twobody
+        if elastic0k is not None and sub_idx is None and n_lo >= elastic0k[2]:
+            # exact rows: slice the main pool's elastic output directly
+            zero_k_preps.append(None)
+        else:
+            from ndpp_tpu.host.prep import prepare_twobody
 
-        with RunMetrics.span_or_null(metrics, "prep.twobody"):
-            zero_k_preps.append(prepare_twobody(nuc, nuc.elastic, e_sub))
+            with RunMetrics.span_or_null(metrics, "prep.twobody"):
+                zero_k_preps.append(prepare_twobody(nuc, nuc.elastic, e_sub))
         plans.append((k, kt, rows, sub_idx, e_sub, w, ffg, pending))
 
     if not plans:
         return scatter
 
-    # batched 0K elastic for ALL temperatures (one dispatch set); banded
-    # results (heavy-A narrow reach) densify on host for the combine
-    f0k_all = [
-        driver_mod.densify_banded(mom, g0, gs.ng)
-        for mom, g0 in driver_mod._tiled_twobody_multi(
-            zero_k_preps, gs.bounds, order, cfg.device.quad_points, 256, metrics, cfg.clamp_outside
+    # 0K elastic for ALL temperatures: sliced from the main pool's elastic
+    # output where possible, else one batched dispatch set; banded results
+    # (heavy-A narrow reach) densify on host for the combine
+    todo_preps = [p for p in zero_k_preps if p is not None]
+    computed = iter(
+        driver_mod._tiled_twobody_multi(
+            todo_preps, gs.bounds, order, cfg.device.quad_points, 256, metrics, cfg.clamp_outside
         )
-    ]
+        if todo_preps
+        else []
+    )
+    f0k_all = []
+    for (k, kt, rows, sub_idx, e_sub, w, ffg, pending), prep in zip(plans, zero_k_preps):
+        if prep is None:
+            mom, g0, i0 = elastic0k
+            sl = slice(rows.start - i0, rows.stop - i0)
+            f0k_all.append(
+                driver_mod.densify_banded(
+                    mom[sl], None if g0 is None else g0[sl], gs.ng
+                )
+            )
+        else:
+            mom, g0 = next(computed)
+            f0k_all.append(driver_mod.densify_banded(mom, g0, gs.ng))
 
     # Pass 2: wait on the scattering-law tiles and combine per temperature
     for (k, kt, rows, sub_idx, e_sub, w, ffg, pending), f0k in zip(plans, f0k_all):

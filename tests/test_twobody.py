@@ -197,7 +197,7 @@ def test_banded_windows_match_dense_driver():
     cfg.device.e_tile = 64
     e_grid = nuc.energy
 
-    banded, _ = driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
+    banded, _, _ = driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
 
     real_bw = driver_mod._band_windows
     # confirm banding actually engaged for this nuclide, then force dense
@@ -213,7 +213,7 @@ def test_banded_windows_match_dense_driver():
         driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
         assert any(engaged), "banding never engaged on the heavy-A fixture"
         driver_mod._band_windows = lambda preps, idxs, bounds: None
-        dense, _ = driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
+        dense, _, _ = driver_mod.scattering_moments(nuc, gs, cfg, e_grid)
     finally:
         driver_mod._band_windows = real_bw
     np.testing.assert_allclose(banded, dense, rtol=1e-13, atol=1e-15)
