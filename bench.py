@@ -98,21 +98,28 @@ def _rate_pipelined(fn, e0, moments_per_call, calls=6):
     per call because the axon remote layer elides repeated identical
     executions.
 
-    Round-4 caveat (BASELINE.md): on the axon backend block_until_ready
-    does NOT force output fetch, so these are DEVICE-SESSION rates; the
-    end-to-end sweep additionally pays ~17 MB/s of device->host tunnel
-    for every fetched moment (~2.2e6 f64 moments/s ceiling on this dev
-    harness — a tunnel artifact, not a v5e property).
+    Round-4 caveats (BASELINE.md): on the axon backend block_until_ready
+    neither forces output fetch NOR reliably forces execution — a bare
+    block_until_ready variant of this function measured 8.6e9 "moments/s"
+    standalone (the remote layer elided the whole batch). Every call is
+    therefore chained into ONE tiny scalar probe (first element of each
+    output, stacked) whose host fetch is data-dependent on all `calls`
+    kernels: execution is forced, pipelining across the distinct
+    dispatches is preserved, and the fetch cost is one scalar array
+    instead of the full moment tensors. These remain DEVICE-SESSION
+    rates; an end-to-end sweep additionally pays ~17 MB/s of
+    device->host tunnel for every fetched moment (~2.2e6 f64 moments/s
+    ceiling on this dev harness — a tunnel artifact, not a v5e property).
     """
-    import jax
     import jax.numpy as jnp
 
     es = [e0 * jnp.asarray(1.0 + 1e-9 * i, e0.dtype) for i in range(calls + 1)]
     out = fn(es[0])
-    jax.block_until_ready(out)  # compile + warm
+    np.asarray(jnp.ravel(out)[0])  # compile + warm, execution forced
     t0 = time.perf_counter()
     outs = [fn(e) for e in es[1:]]
-    jax.block_until_ready(outs)
+    probe = jnp.stack([jnp.ravel(o)[0] for o in outs])  # depends on ALL calls
+    np.asarray(probe)  # one scalar-array fetch forces the whole batch
     dt = time.perf_counter() - t0
     return moments_per_call * calls / dt, dt
 
