@@ -62,46 +62,6 @@ def _panel_index_rows(knots, q):
     return idx
 
 
-def _affine_coeffs_multi(xk, chans, q):
-    """Shared-mask multi-channel panel interpolation (masked sum, no gathers).
-
-    xk: (..., K) non-decreasing panel knots (broadcastable against q's
-    leading axes); chans: list of (..., K) channel values; q: (...,  S)
-    queries. Returns a list of (a, b) affine-coefficient pairs, each
-    (..., S), such that channel(q) = a + b*q on the containing panel.
-
-    One panel scan serves EVERY channel: the containment mask — the
-    expensive part of the O(K) masked-sum interpolation — is computed once
-    instead of once per channel (the Kalbach branch interpolates three
-    channels at the same selectors; round 4, continuum >= 5e6 push).
-    Queries below/above the knot range take the edge panels.
-    """
-    k = xk.shape[-1]
-    outs = [(jnp.zeros_like(q), jnp.zeros_like(q)) for _ in chans]
-    covered = jnp.zeros_like(q, dtype=bool)
-    for j in range(k - 1):
-        x0 = xk[..., j : j + 1]
-        x1 = xk[..., j + 1 : j + 2]
-        dx = x1 - x0
-        ok = dx > 0
-        inside = (q >= x0) & (q < x1)
-        if j == 0:
-            inside = inside | (q < x0)
-        if j == k - 2:
-            inside = inside | (q >= x1)
-        take = inside & ~covered
-        covered = covered | take
-        nxt = []
-        for (a, b), cr in zip(outs, chans):
-            y0 = cr[..., j : j + 1]
-            y1 = cr[..., j + 1 : j + 2]
-            slope = jnp.where(ok, (y1 - y0) / jnp.where(ok, dx, 1.0), 0.0)
-            inter = y0 - slope * x0
-            nxt.append((jnp.where(take, inter, a), jnp.where(take, slope, b)))
-        outs = nxt
-    return outs
-
-
 def _scatter_rows(m, gidx, ng):
     def row(m_row, g_row):
         return jnp.zeros((m_row.shape[0], ng), dtype=m_row.dtype).at[:, g_row].add(m_row)
@@ -314,6 +274,29 @@ def cm_moments_pointwise(
     use_window = 0 < ksel < ke
     nsel = ksel if use_window else ke
 
+    # Per-knot-panel affine coefficients of every interpolation channel,
+    # computed ONCE at (T, KE-1) and looked up per query with a single
+    # payload gather inside the body (round 4: the per-query masked-sum
+    # interpolation scan was ~25% of the whole dispatch; the panel
+    # coefficients never depended on the query, so the per-query work is
+    # only a containment count + one take_along_axis).
+    interp_chans = []
+    if energy != "nbody":
+        interp_chans.append(pdf_e)
+    if angular == "kalbach":
+        interp_chans += [r_rows, a_rows]
+    chan_payload = None
+    if interp_chans:
+        dxk = e_knots[:, 1:] - e_knots[:, :-1]
+        okp = dxk > 0
+        dxk_s = jnp.where(okp, dxk, 1.0)
+        coef_cols = []
+        for c in interp_chans:
+            b_c = jnp.where(okp, (c[:, 1:] - c[:, :-1]) / dxk_s, 0.0)
+            a_c = jnp.where(okp, c[:, :-1] - b_c * e_knots[:, :-1], c[:, :-1])
+            coef_cols += [a_c, b_c]
+        chan_payload = jnp.stack(coef_cols, axis=-1)  # (T, KE-1, 2*NCH)
+
     def body(carry, c0):
         pm = jax.lax.dynamic_slice_in_dim(pmid_p, c0, chunk, axis=1)  # (T, PC)
         ph = jax.lax.dynamic_slice_in_dim(phalf_p, c0, chunk, axis=1)
@@ -334,6 +317,7 @@ def cm_moments_pointwise(
             idx_b = jnp.broadcast_to(idx, (tt, nw, nsel))
             yk_sel = jnp.take_along_axis(yk[:, None, :], idx_b, axis=2)
         else:
+            j0 = jnp.zeros((tt, nw), dtype=jnp.int32)
             yk_sel = jnp.broadcast_to(yk[:, None, :], (tt, nw, ke))
         iparts = [jnp.clip(yk_sel, ylo_i[..., None], yhi_i[..., None]), ylo_i[..., None], yhi_i[..., None]]
         if angular == "tabular":
@@ -359,30 +343,21 @@ def cm_moments_pointwise(
         mu_lab = (w4**2 + (s2[..., None, None]) ** 2 - x) / jnp.maximum(2.0 * s2[..., None, None] * w4, 1e-30)
         mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
 
-        # Interpolation channels at the panel-constant selectors xm3: one
-        # shared-mask panel scan serves pdf (+ Kalbach r, a); with the
-        # windowed-knot path the scan runs over the nsel gathered knots
-        # instead of the full table (K-1 -> nsel-1 masked terms, ~8x at the
-        # production K/8 quantization — the measured kernel cost center).
-        xm3 = ymid * ymid  # (T, NW, SY)
-        interp_chans = []
-        if energy != "nbody":
-            interp_chans.append(pdf_e)
-        if angular == "kalbach":
-            interp_chans += [r_rows, a_rows]
-        coeffs = []
-        if interp_chans:
-            if use_window:
-                ch_w = [
-                    jnp.take_along_axis(c[:, None, :], idx_b, axis=2) for c in interp_chans
-                ]
-                ek_w = jnp.take_along_axis(e_knots[:, None, :], idx_b, axis=2)
-                coeffs = _affine_coeffs_multi(ek_w, ch_w, xm3)
-            else:
-                coeffs = _affine_coeffs_multi(
-                    e_knots[:, None, :], [c[:, None, :] for c in interp_chans], xm3
-                )
-        ci = iter(coeffs)
+        # Interpolation channels: containing-knot-panel index by count over
+        # the (windowed) knots, then ONE take_along_axis of the stacked
+        # per-panel coefficients (chan_payload). Dead (duplicate-knot)
+        # panels can only be hit by dead y-panels (yhalf = 0), whose
+        # contribution is zeroed by wgt_y.
+        cf = None
+        if chan_payload is not None:
+            cnt = jnp.sum(
+                (yk_sel[:, :, None, :] <= ymid[..., None]).astype(jnp.int32), axis=-1
+            )  # (T, NW, SY)
+            jq = j0[:, :, None] + jnp.clip(cnt - 1, 0, nsel - 2)
+            jq = jnp.clip(jq, 0, ke - 2)
+            cf = jnp.take_along_axis(
+                chan_payload, jq.reshape(tt, nw * sy)[:, :, None], axis=1
+            ).reshape(tt, nw, sy, chan_payload.shape[-1])
 
         if energy == "nbody":
             pe = (
@@ -396,14 +371,12 @@ def cm_moments_pointwise(
             # the Jacobian was computed for (E'_lab, y) directly. p_E(y^2)
             # here carries only sqrt(E'_cm) = y from the phase-space form.
         else:
-            a_e, b_e = next(ci)
-            pe = a_e[..., None] + b_e[..., None] * x
+            pe = cf[..., 0:1] + cf[..., 1:2] * x
 
         if angular == "kalbach":
-            a_r, b_r = next(ci)
-            a_a, b_a = next(ci)
-            rr = a_r[..., None] + b_r[..., None] * x
-            aa = a_a[..., None] + b_a[..., None] * x
+            off = 0 if energy == "nbody" else 2
+            rr = cf[..., off : off + 1] + cf[..., off + 1 : off + 2] * x
+            aa = cf[..., off + 2 : off + 3] + cf[..., off + 3 : off + 4] * x
             aa = jnp.maximum(aa, 1e-12)
             # two-exp form of a/(2 sinh a) (cosh(a mu) + r sinh(a mu)):
             # cosh + r sinh = ((1+r) e^{a mu} + (1-r) e^{-a mu})/2 and
@@ -418,7 +391,11 @@ def cm_moments_pointwise(
             # every a=0/near-isotropic law-44 knot hits); expm1 is exact there
             # and aa/em -> 1 smoothly (round-4 advisor finding).
             em = jnp.expm1(aa)
-            pa = aa * ((1.0 + rr) * ex + (1.0 - rr) / ex) * (1.0 + em) / (2.0 * em * (2.0 + em))
+            # single fused divide (f64-emulated divides are ~as costly as
+            # the remaining per-node arithmetic): (1-r)/ex folded into one
+            # quotient via ex^2 in the numerator
+            num = aa * ((1.0 + rr) * (ex * ex) + (1.0 - rr)) * (1.0 + em)
+            pa = num / (ex * (2.0 * em * (2.0 + em)))
         elif angular == "tabular":
             kmu = mu_knots.shape[0]
             je = _panel_index_rows(e_knots, xm)  # (T, NW*SY)

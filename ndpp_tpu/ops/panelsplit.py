@@ -45,27 +45,43 @@ def lagrange_cumulants(edges, pmid_p, phalf_p, gvals, wg, boundaries, npan: int,
     padded panel mids/halves (pad halves = 0); gvals: (T, P_pad, NQ, L+1)
     density node values; wg: (NQ,) GL weights; boundaries: (NB,) shared or
     (T, NB) per-row. Returns (T, NB, L+1). Boundaries below the first edge
-    give 0, above the last give the total (clip semantics of the one-hot
-    panel lookup + t in [-1, 1]). All lookups are one-hot matmuls — no
-    dynamic gathers (XLA:TPU gathers measured ~10x the surrounding
-    compute, round 1).
+    give 0, above the last give the total (clip semantics of the panel
+    lookup + t in [-1, 1]).
+
+    Lookup realization (round 4, re-measured): each boundary needs the
+    payload of exactly ONE panel — mid, half, the NQ x (L+1) node block,
+    and the exclusive prefix — so the lookup is done with a single
+    take_along_axis of a concatenated (T, P_pad, NQ*(L+1) + L+1) payload.
+    The previous one-hot einsum realized the same lookup as
+    T*NB*P*NQ*(L+1) f64-emulated MACs (~9e9 at the production continuum
+    shape) and was ~20% of the whole continuum dispatch; the gather is
+    information-proportional (T*NB*66 loads) and matched it to 4e-14.
+    (Round 1's "gathers are ~10x the surrounding compute" finding was
+    about replacing ~10 flops/element interpolation — here the alternative
+    was ~1000x more flops, and the gather wins.)
     """
     dtype = gvals.dtype
     tt = edges.shape[0]
     pad_p = gvals.shape[1]
+    nq_ = gvals.shape[2]
+    l1 = gvals.shape[3]
     totals = phalf_p[..., None] * jnp.einsum("q,tpql->tpl", wg, gvals)  # (T, P_pad, L+1)
     prefix = jnp.cumsum(totals, axis=1) - totals  # exclusive
 
     b = boundaries if boundaries.ndim == 2 else jnp.broadcast_to(
         boundaries[None, :], (tt, boundaries.shape[0])
     )
+    nb = b.shape[1]
     le = edges[:, None, :-1]  # (T, 1, P)
-    pidx = jnp.clip(jnp.sum((le <= b[:, :, None]).astype(dtype), axis=2) - 1.0, 0.0, float(npan - 1))
-    onehot = (jnp.arange(pad_p, dtype=dtype)[None, None, :] == pidx[..., None]).astype(dtype)
-    mid_b = jnp.einsum("tgp,tp->tg", onehot, pmid_p)
-    half_b = jnp.einsum("tgp,tp->tg", onehot, phalf_p)
-    nodes_b = jnp.einsum("tgp,tpql->tgql", onehot, gvals)  # (T, NB, NQ, L+1)
-    prefix_b = jnp.einsum("tgp,tpl->tgl", onehot, prefix)  # (T, NB, L+1)
+    pidx = jnp.clip(
+        jnp.sum((le <= b[:, :, None]).astype(jnp.int32), axis=2) - 1, 0, npan - 1
+    )  # (T, NB) int32
+    mid_b = jnp.take_along_axis(pmid_p, pidx, axis=1)
+    half_b = jnp.take_along_axis(phalf_p, pidx, axis=1)
+    payload = jnp.concatenate([gvals.reshape(tt, pad_p, nq_ * l1), prefix], axis=2)
+    pay_b = jnp.take_along_axis(payload, pidx[:, :, None], axis=1)  # (T, NB, NQ*L1+L1)
+    nodes_b = pay_b[:, :, : nq_ * l1].reshape(tt, nb, nq_, l1)
+    prefix_b = pay_b[:, :, nq_ * l1 :]  # (T, NB, L+1)
     # floor 1e-30, NOT 1e-300: smaller flushes to zero in f32-range
     # TPU-emulated f64 (ops/dd.py range caveat), giving 0/0 NaN
     t_b = jnp.clip((b - mid_b) / jnp.maximum(half_b, 1e-30), -1.0, 1.0)
