@@ -71,8 +71,11 @@ class DeviceConfig:
     # Sweep stall watchdog (utils/watchdog.py): abort the process with exit
     # code 4 (distinct from quarantine's 3) after this many minutes without
     # a completed dispatch span, dumping all thread stacks first. 0 = off.
-    # Must exceed the worst legitimate cold compile (60-600 s/shape here).
-    watchdog_minutes: float = 0.0
+    # ON by default (round 5): the observed remote-dispatch wedge hit plain
+    # long `ndpp run` sweeps, not just the scale script, so the protection
+    # is systemic. The default floor (30 min) exceeds the worst legitimate
+    # cold compile observed on this backend (60-600 s/shape).
+    watchdog_minutes: float = 30.0
 
     def validate(self) -> None:
         if self.precision not in ("f64", "dd"):

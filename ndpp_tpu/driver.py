@@ -60,14 +60,6 @@ class ScatterInputs:
     yld: np.ndarray  # (NE,)
 
 
-def _pow2_at_most(n: int, cap: int) -> int:
-    """Smallest power of two >= n, capped at cap (canonical tile sizes maximize jit-cache reuse)."""
-    p = 1
-    while p < n and p < cap:
-        p *= 2
-    return min(p, cap)
-
-
 def _tiled_twobody(nuc, rxn, e_grid, bounds, order, nq, tile, metrics: RunMetrics | None, clamp: bool = True):
     """Run the two-body kernel over fixed-size E-tiles; returns (NE, L+1, G).
 

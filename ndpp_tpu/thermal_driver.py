@@ -201,11 +201,14 @@ def apply_sab(scatter: np.ndarray, nuc, gs, cfg, e_grid: np.ndarray, tables, met
                 incoherent_elastic_placement(jnp.asarray(fvec), jnp.asarray(e_pad), bounds_d)
             )[:n_rows]
 
-        # --- 0K elastic moments to subtract (same machinery as the combine)
-        tile = driver_mod._pow2_at_most(n_rows, cfg.device.e_tile)
+        # --- 0K elastic moments to subtract (same machinery as the combine).
+        # The tile argument is a CAP (resolved by rows.tile_for inside);
+        # passing cfg.device.e_tile keeps compiled shapes canonical — a
+        # data-dependent pow2(n_rows) cap here was a per-nuclide compile
+        # churn source (round-5 fix of the round-4 tile-cap rule).
         f_el0k = driver_mod._tiled_twobody(
-            nuc, nuc.elastic, e_rows, gs.bounds, order, cfg.device.quad_points, tile, None,
-            cfg.clamp_outside,
+            nuc, nuc.elastic, e_rows, gs.bounds, order, cfg.device.quad_points,
+            cfg.device.e_tile, None, cfg.clamp_outside,
         )
 
         num = (

@@ -343,3 +343,30 @@ def test_batched_pooling_matches_per_reaction():
     for got, ref in zip(pooled, sep):
         scale = np.abs(ref).max()
         np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10 * scale)
+
+
+def test_window_knot_bound_matches_broadcast_formula():
+    # the O(NE*KE log KE) searchsorted pass (round 5) must reproduce the
+    # original broadcast definition: need = max over (row, j) of the count
+    # of knots in [yk_j, yk_j + 2 s_row], + 2 bracketing panels
+    from ndpp_tpu.continuum_driver import _window_knot_bound
+
+    rng = np.random.default_rng(7)
+    for awr, ke, scale in [(238.0, 64, 2e7), (55.0, 32, 1e6), (0.999, 16, 1e5)]:
+        ne = 37
+        e_rows = rng.uniform(1e2, scale, ne)
+        e_knots = np.sort(rng.uniform(0.0, scale, (ne, ke)), axis=1)
+        # reference: the pre-round-5 broadcast formula
+        yk = np.sqrt(np.maximum(e_knots, 0.0))
+        s = np.sqrt(np.maximum(e_rows, 0.0)) / (awr + 1.0)
+        tgt = yk + 2.0 * s[:, None]
+        hi = np.sum(yk[:, None, :] <= tgt[:, :, None], axis=2)
+        need = max(2, int((hi - np.arange(ke)[None, :]).max()) + 2)
+        if need >= ke - 1:
+            expect = 0
+        else:
+            k = 4
+            while k < need:
+                k *= 2
+            expect = min(k, ke)
+        assert _window_knot_bound(e_rows, awr, e_knots) == expect
