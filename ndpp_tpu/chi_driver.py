@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ndpp_tpu import banding
 from ndpp_tpu.host import unionize
 from ndpp_tpu.host.prep_continuum import prepare_continuum
 from ndpp_tpu.ops.chi import analytic_group_fractions, tabular_group_fractions
@@ -55,23 +56,42 @@ def _law_fractions(prep, gs, cfg, metrics=None) -> np.ndarray:
         return out
     if prep.e_knots is None:
         raise AceFormatError(f"chi: unsupported spectrum kind {prep.kind!r}")
-    tile = rows_mod.tile_for(ne, 1024, cfg.device.e_tile)
     k16 = unionize.bucket_pow2(prep.e_knots.shape[1])
     kn = unionize.pad_to(prep.e_knots, k16, axis=1)
     pd = unionize.pad_to(prep.pdf, k16, axis=1)
+    # per-row group-band windows (round 5): a spectrum's support is its
+    # knot range; narrow rows fetch (T, B) instead of dense G-wide
+    # fraction rows, wide rows keep the dense dispatch (banding.partition)
+    from ndpp_tpu.continuum_driver import _band_subsets
+
+    subsets = _band_subsets(
+        banding.partition(kn[:, 0], kn[:, -1], gs.bounds) if clamp else None, ne, gs.ng, gs
+    )
     pending = []
+    finals = []
     with RunMetrics.span_or_null(metrics, "dispatch.chi"):
-      for start, length in unionize.tile_indices(ne, tile):
-        frac = tabular_group_fractions(
-            rows_mod.put_rows(unionize.pad_to(kn[start : start + length], tile)),
-            rows_mod.put_rows(unionize.pad_to(pd[start : start + length], tile)),
-            bounds,
-            clamp,
-        )
-        pending.append((start, length, frac))
+      for idx, gw, g0s, b_rows in subsets:
+        kn_s, pd_s = kn[idx], pd[idx]
+        buf = np.empty((idx.size, gw))
+        finals.append((idx, g0s, buf))
+        tile_s = rows_mod.tile_for(idx.size, 1024, cfg.device.e_tile)
+        for start, length in unionize.tile_indices(idx.size, tile_s):
+            sl = slice(start, start + length)
+            b_arg = bounds if b_rows is None else rows_mod.put_rows(
+                unionize.pad_to(b_rows[sl], tile_s)
+            )
+            frac = tabular_group_fractions(
+                rows_mod.put_rows(unionize.pad_to(kn_s[sl], tile_s)),
+                rows_mod.put_rows(unionize.pad_to(pd_s[sl], tile_s)),
+                b_arg,
+                clamp,
+            )
+            pending.append((buf, start, length, frac))
     with RunMetrics.span_or_null(metrics, "wait.chi"):
-        for start, length, frac in pending:
-            out[start : start + length] = np.asarray(frac)[:length]
+        for buf, start, length, frac in pending:
+            buf[start : start + length] = np.asarray(frac)[:length]
+    for idx, g0s, buf in finals:
+        out[idx] = banding.densify(buf[:, None, :], g0s, gs.ng)[:, 0, :]
     disc = prep.extra.get("disc")
     if disc is not None:
         # ND > 0 delta lines: their l=0 contribution is the line probability

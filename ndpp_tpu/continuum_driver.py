@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from ndpp_tpu import banding
 from ndpp_tpu.host import unionize
 from ndpp_tpu.host.prep_continuum import ContinuumPrepared, prepare_continuum
 from ndpp_tpu.ops.chi import analytic_group_fractions
@@ -103,23 +104,40 @@ def _law_moments(
         kn = unionize.pad_to(prep.e_knots, k16, axis=1)
         pd = unionize.pad_to(prep.pdf, k16, axis=1)
         mm = unionize.pad_to(prep.mom_knots, k16, axis=1)
-        tile, spans = _tiles(ne, 1024, cfg.device.e_tile)
+        # per-row group-band windows (round 5): the outgoing support is the
+        # knot range; narrow rows fetch (T, L+1, B) instead of dense G-wide
+        # rows (banding.partition: wide rows keep the dense dispatch)
+        subsets = _band_subsets(
+            banding.partition(kn[:, 0], kn[:, -1], gs.bounds) if clamp else None, ne, ng, gs
+        )
         pending = []
+        finals = []
         with RunMetrics.span_or_null(metrics, "dispatch.continuum"):
-          for start, length in spans:
-            res = lab_tabular_moments(
-                rows_mod.put_rows(unionize.pad_to(kn[start : start + length], tile)),
-                rows_mod.put_rows(unionize.pad_to(pd[start : start + length], tile)),
-                rows_mod.put_rows(unionize.pad_to(mm[start : start + length], tile)),
-                bounds,
-                order,
-                8,
-                clamp,
-            )
-            pending.append((start, length, res))
+          for idx, gw, g0s, b_rows in subsets:
+            kn_s, pd_s, mm_s = kn[idx], pd[idx], mm[idx]
+            buf = np.empty((idx.size, order + 1, gw))
+            finals.append((idx, g0s, buf))
+            tile, spans = _tiles(idx.size, 1024, cfg.device.e_tile)
+            for start, length in spans:
+                sl = slice(start, start + length)
+                b_arg = bounds if b_rows is None else rows_mod.put_rows(
+                    unionize.pad_to(b_rows[sl], tile)
+                )
+                res = lab_tabular_moments(
+                    rows_mod.put_rows(unionize.pad_to(kn_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(pd_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(mm_s[sl], tile)),
+                    b_arg,
+                    order,
+                    8,
+                    clamp,
+                )
+                pending.append((buf, start, length, res))
         with RunMetrics.span_or_null(metrics, "wait.continuum"):
-            for start, length, res in pending:
-                out[start : start + length] = np.asarray(res)[:length]
+            for buf, start, length, res in pending:
+                buf[start : start + length] = np.asarray(res)[:length]
+        for idx, g0s, buf in finals:
+            out[idx] = banding.densify(buf, g0s, ng)
         _add_discrete_lines(out, prep, gs, cfg)
         return out
 
@@ -162,60 +180,106 @@ def _law_moments(
                     # window only pays when it is MUCH narrower than the table.
                     kw = kn.shape[1] // 8
                     ksel = kw if 0 < ksel <= kw else 0
-        tile, spans = _tiles(ne, _CONTINUUM_TILE, cfg.device.e_tile)
+        # per-row group-band windows (round 5): the CM kinematic reach
+        # [E'_min, E'_max] is closed-form from the knot table and s —
+        # narrow for exactly the heavy nuclides that dominate a library —
+        # and the banded call both shrinks the fetched bytes (B/G of the
+        # dense row, the measured end-to-end bound) and cuts the Lagrange
+        # boundary-cumulant work from G+1 to B+1 lookups. Wide-reach rows
+        # (a threshold reaction's top-E rows see the whole structure) keep
+        # the dense dispatch (banding.partition).
+        if clamp:
+            if energy == "nbody":
+                sup_kn = np.stack(
+                    [np.zeros(ne), np.maximum(np.asarray(prep.nbody_emax, dtype=np.float64), 0.0)],
+                    axis=1,
+                )
+            else:
+                sup_kn = kn
+            part = banding.partition(*banding.support_cm(prep.e, awr, sup_kn), gs.bounds)
+        else:
+            part = None
+        subsets = _band_subsets(part, ne, ng, gs)
         pending = []
+        finals = []
         with RunMetrics.span_or_null(metrics, "dispatch.continuum"):
-          for start, length in spans:
-            sl = slice(start, start + length)
-            res = cm_moments_pointwise(
-                rows_mod.put_rows(unionize.pad_to(prep.e[sl], tile)),
-                rows_mod.put_rows(unionize.pad_to(kn[sl], tile)),
-                rows_mod.put_rows(unionize.pad_to(pd[sl], tile)),
-                rows_mod.put_rows(unionize.pad_to(rr[sl], tile)),
-                rows_mod.put_rows(unionize.pad_to(aa[sl], tile)),
-                rows_mod.put_replicated(muk),
-                rows_mod.put_rows(unionize.pad_to(mup[sl], tile)),
-                rows_mod.put_rows(unionize.pad_to(emax[sl], tile)),
-                float(prep.nbody_expo or 0.0),
-                bounds,
-                awr,
-                order,
-                # Tabular-angle payloads carry data-knot-crossing C^1 kinks
-                # INSIDE outer panels (the K x KMU crossing family is not an
-                # edge set), which the Lagrange cumulant interpolant cannot
-                # split through: at the production 361-group structure the
-                # lagrange path measured 4.6e-7 on an adversarially rough
-                # payload and did not converge in nq_w (round-4
-                # production-shape gate). The boundary-edged "panels" split
-                # converges there — vs a (40, 16) reference on the same
-                # payload: nq_w 24 -> 5.3e-9 abs / 1.2e-7 rel-significant,
-                # nq_w 32 -> 2.8e-9 / 5.8e-8 (nq_y 8 == 16 exactly) — so
-                # tabular runs panels at 32/8. Full 1e-8 rel on arbitrarily
-                # rough tables needs the crossing-image edge family
-                # (~K*KMU extra outer edges); smooth physical tables are
-                # well inside the bar already (tests/test_continuum law61cm
-                # oracle suite).
-                # Kalbach/nbody integrands are smooth in w and run the
-                # G-independent lagrange split (ops/panelsplit); nq_w=8
-                # measured 9.9e-9 abs / 1.35e-7 rel-significant at AWR 238
-                # x 361 groups (over the 1e-8 bar), nq_w=10 -> 5.7e-10 abs
-                # (round-4 production-shape gate); nq_y 8 == 12 exactly.
-                32 if angular == "tabular" else 10,
-                8,
-                angular,
-                energy,
-                clamp,
-                8,
-                ksel,
-                "panels" if angular == "tabular" else "lagrange",
-            )
-            pending.append((sl, length, res))
+          for idx, gw, g0s, b_rows in subsets:
+            e_s, kn_s, pd_s = prep.e[idx], kn[idx], pd[idx]
+            rr_s, aa_s, mup_s, emax_s = rr[idx], aa[idx], mup[idx], emax[idx]
+            buf = np.empty((idx.size, order + 1, gw))
+            finals.append((idx, g0s, buf))
+            tile, spans = _tiles(idx.size, _CONTINUUM_TILE, cfg.device.e_tile)
+            for start, length in spans:
+                sl = slice(start, start + length)
+                b_arg = bounds if b_rows is None else rows_mod.put_rows(
+                    unionize.pad_to(b_rows[sl], tile)
+                )
+                res = cm_moments_pointwise(
+                    rows_mod.put_rows(unionize.pad_to(e_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(kn_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(pd_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(rr_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(aa_s[sl], tile)),
+                    rows_mod.put_replicated(muk),
+                    rows_mod.put_rows(unionize.pad_to(mup_s[sl], tile)),
+                    rows_mod.put_rows(unionize.pad_to(emax_s[sl], tile)),
+                    float(prep.nbody_expo or 0.0),
+                    b_arg,
+                    awr,
+                    order,
+                    # Tabular-angle payloads carry data-knot-crossing C^1
+                    # kinks whose closed-form w-images are now outer panel
+                    # EDGES (cross_edges — the K x KMU family the round-4
+                    # code lacked, round 5): every panel's integrand is
+                    # analytic, both split machineries converge spectrally,
+                    # and the adversarially rough production-shape payload
+                    # that capped round 4 at 5.8e-8 rel-significant (panels
+                    # 32/8, boundary images only) measures 5e-14 at
+                    # lagrange 12/8 + cross (CPU study, BASELINE.md round-5
+                    # row; selfcheck's tabular leg pins it on chip at the
+                    # full 1e-8 bar). Tabular therefore rejoins the
+                    # G-independent lagrange split, at nq_w 12.
+                    # Kalbach/nbody integrands are smooth in w and run the
+                    # lagrange split (ops/panelsplit); nq_w=8 measured
+                    # 9.9e-9 abs / 1.35e-7 rel-significant at AWR 238 x 361
+                    # groups (over the 1e-8 bar), nq_w=10 -> 5.7e-10 abs
+                    # (round-4 production-shape gate); nq_y 8 == 12 exactly.
+                    12 if angular == "tabular" else 10,
+                    8,
+                    angular,
+                    energy,
+                    clamp,
+                    8,
+                    ksel,
+                    "lagrange",
+                    angular == "tabular",
+                )
+                pending.append((buf, start, length, res))
         with RunMetrics.span_or_null(metrics, "wait.continuum"):
-            for sl, length, res in pending:
-                out[sl] = np.asarray(res)[:length]
+            for buf, start, length, res in pending:
+                buf[start : start + length] = np.asarray(res)[:length]
+        for idx, g0s, buf in finals:
+            out[idx] = banding.densify(buf, g0s, ng)
         return out
 
     raise NdppError(f"unknown continuum preparation kind {prep.kind!r}")
+
+
+def _band_subsets(part, ne: int, ng: int, gs):
+    """Dispatch subsets [(row idx, out width, g0 | None, window bounds | None)].
+
+    part: banding.partition result. One banded subset (narrow rows) plus
+    one dense subset (wide rows), or a single dense subset covering all.
+    """
+    if part is None:
+        return [(np.arange(ne), ng, None, None)]
+    narrow, b_w, g0f = part
+    nidx = np.nonzero(narrow)[0]
+    subsets = [(nidx, b_w, g0f[nidx], banding.window_bounds(gs.bounds, g0f[nidx], b_w))]
+    didx = np.nonzero(~narrow)[0]
+    if didx.size:
+        subsets.append((didx, ng, None, None))
+    return subsets
 
 
 def _add_discrete_lines(out: np.ndarray, prep: ContinuumPrepared, gs, cfg) -> None:

@@ -253,13 +253,9 @@ def _tiled_twobody_multi(preps, bounds, order, nq, tile_cap, metrics, clamp=True
 
 def densify_banded(mom: np.ndarray, g0: np.ndarray | None, ng: int) -> np.ndarray:
     """Banded (NE, L+1, B) + per-row offsets -> dense (NE, L+1, G)."""
-    if g0 is None:
-        return mom
-    n, lp1, gw = mom.shape
-    out = np.zeros((n, lp1, ng))
-    cols = g0[:, None] + np.arange(gw)[None, :]
-    out[np.arange(n)[:, None, None], np.arange(lp1)[None, :, None], cols[:, None, :]] = mom
-    return out
+    from ndpp_tpu import banding
+
+    return banding.densify(mom, g0, ng)
 
 
 def scattering_moments(

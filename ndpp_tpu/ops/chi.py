@@ -26,11 +26,13 @@ from ndpp_tpu.ops.legendre import gl_nodes_weights
 
 
 def _effective_bounds(bounds, clamp: bool):
+    """Clamped bounds; shared (G+1,) or per-row (T, B+1) band windows."""
     if not clamp:
         return bounds
-    lo = jnp.full((1,), -jnp.inf, dtype=bounds.dtype)
-    hi = jnp.full((1,), jnp.inf, dtype=bounds.dtype)
-    return jnp.concatenate([lo, bounds[1:-1], hi])
+    shp = bounds.shape[:-1] + (1,)
+    lo = jnp.full(shp, -jnp.inf, dtype=bounds.dtype)
+    hi = jnp.full(shp, jnp.inf, dtype=bounds.dtype)
+    return jnp.concatenate([lo, bounds[..., 1:-1], hi], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("clamp",))
@@ -49,16 +51,18 @@ def tabular_group_fractions(e_knots, pdf, bounds, clamp: bool = True):
     per-segment interpolation, and no scatter-add: the only lookup is ONE
     take_along_axis of a 4-wide panel payload at the G+1 boundaries.
     """
-    ng = bounds.shape[0] - 1
+    ng = bounds.shape[-1] - 1
     k = e_knots.shape[1]
     eff = _effective_bounds(bounds, clamp)
+    if eff.ndim == 1:
+        eff = eff[None, :]
     dx = e_knots[:, 1:] - e_knots[:, :-1]
     ok = dx > 0
     dxs = jnp.where(ok, dx, 1.0)
     slope = jnp.where(ok, (pdf[:, 1:] - pdf[:, :-1]) / dxs, 0.0)
     pint = jnp.where(ok, 0.5 * (pdf[:, 1:] + pdf[:, :-1]) * dx, 0.0)  # exact panel integrals
     prefix = jnp.cumsum(pint, axis=1) - pint  # exclusive: integral up to knot j
-    b = jnp.clip(eff[None, :], e_knots[:, :1], e_knots[:, -1:])  # (T, G+1)
+    b = jnp.clip(eff, e_knots[:, :1], e_knots[:, -1:])  # (T, G+1)
     # containing panel by count (side='right'), then one payload gather
     idx = jnp.clip(
         jnp.sum((e_knots[:, None, :] <= b[:, :, None]).astype(jnp.int32), axis=2) - 1,
