@@ -22,7 +22,7 @@ Example deck (TOML):
     format = "hdf5"                            # hdf5 | ascii | both
 
     [device]
-    precision = "f64"                          # f64 | dd (double-double pallas)
+    precision = "dd"                           # dd (double-double pallas) | f64
     e_tile = 512                               # incident-energy tile size
     mesh = "auto"                              # or [n_nuclide_shards, n_e_shards]
 """
@@ -53,7 +53,13 @@ class OutputConfig:
 
 @dataclass
 class DeviceConfig:
-    precision: str = "f64"  # f64 | dd
+    # Production default is the dd two-body path (round 5, closing the
+    # round-4 flagship/default divergence): at the shipping e_tile the dd
+    # Pallas inner matches-or-beats f64 fetch-inclusive (1.14x at 2048,
+    # BASELINE.md round-4 row), agrees with f64 to ~1e-11 (selfcheck gates
+    # every bench), and is the same path the bench headline measures.
+    # "f64" remains one config line away.
+    precision: str = "dd"  # dd | f64
     e_tile: int = 512
     quad_points: int = 16  # Gauss-Legendre points per subinterval
     mesh: Any = "auto"  # "auto" | [n_nuclide, n_e]

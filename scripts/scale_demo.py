@@ -191,7 +191,7 @@ def main() -> int:
     ap.add_argument("--temps", type=float, nargs="+", default=[293.6, 600.0])
     ap.add_argument("--order", type=int, default=5)
     ap.add_argument("--groups", default="uniform-lethargy-361")
-    ap.add_argument("--precision", default="f64", choices=["f64", "dd"])
+    ap.add_argument("--precision", default="dd", choices=["dd", "f64"])
     ap.add_argument("--workdir", default="/tmp/ndpp_scale")
     ap.add_argument("--cold-only", action="store_true")
     ap.add_argument("--resume", action="store_true", help="resume the cold pass")
