@@ -45,6 +45,13 @@ import sys
 import time
 from pathlib import Path
 
+# The sweep always runs the tree this script sits in — a snapshot worktree
+# stays pinned to its own code even when the editable install points at
+# the live repo (mid-run edits there polluted a round-5 cold pass).
+# (sys.path, not PYTHONPATH: the env var leaks into the axon plugin's
+# helper subprocess and breaks backend discovery.)
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 EXIT_STALL = 4  # matches ndpp_tpu.utils.watchdog.EXIT_STALL (parent stays jax-free)
 
 
