@@ -196,11 +196,12 @@ def _continuum_rate():
     kb = _window_knot_bound(e, awr, kn)
     kw = k // 8
     ksel = kw if 0 < kb <= kw else 0
-    # (10, 8): the driver's production Kalbach quadrature since round 4
-    # (nq_w=8 measured over the 1e-8 bar at production shapes)
+    # (10, 7): the driver's production Kalbach quadrature since round 5
+    # (nq_w=8 measured over the 1e-8 bar at production shapes; nq_y=7
+    # holds 9.5e-11 abs vs the independent reference, 6 does not)
     rate, dt = _rate_pipelined(
         lambda e_arr: cm_moments_pointwise(
-            e_arr, *args, awr, ORDER, 10, 8, "kalbach", "tabular", True, 8, ksel, "lagrange"
+            e_arr, *args, awr, ORDER, 10, 7, "kalbach", "tabular", True, 8, ksel, "lagrange"
         ),
         jnp.asarray(e),
         moments,

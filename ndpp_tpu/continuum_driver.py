@@ -243,9 +243,12 @@ def _law_moments(
                     # lagrange split (ops/panelsplit); nq_w=8 measured
                     # 9.9e-9 abs / 1.35e-7 rel-significant at AWR 238 x 361
                     # groups (over the 1e-8 bar), nq_w=10 -> 5.7e-10 abs
-                    # (round-4 production-shape gate); nq_y 8 == 12 exactly.
+                    # (round-4 production-shape gate); nq_y 7 measured
+                    # 9.5e-11 abs vs the independent panels(16,16)
+                    # reference at AWR 238 x 361 groups (round 5; 6 was
+                    # 2.1e-8, over the bar) — 12.5% fewer inner nodes.
                     12 if angular == "tabular" else 10,
-                    8,
+                    8 if angular == "tabular" else 7,
                     angular,
                     energy,
                     clamp,

@@ -361,16 +361,25 @@ def cm_moments_pointwise(
         else:
             j0 = jnp.zeros((tt, nw), dtype=jnp.int32)
             yk_sel = jnp.broadcast_to(yk[:, None, :], (tt, nw, ke))
-        iparts = [jnp.clip(yk_sel, ylo_i[..., None], yhi_i[..., None]), ylo_i[..., None], yhi_i[..., None]]
+        lo_e = ylo_i[..., None]
+        hi_e = yhi_i[..., None]
+        kn_clip = jnp.clip(yk_sel, lo_e, hi_e)
         if angular == "tabular":
+            iparts = [kn_clip, lo_e, hi_e]
             mkv = jnp.asarray(mu_knots, dtype=dtype)[None, None, :]  # (1,1,KMU)
             disc = jnp.maximum((s2**2)[..., None] * mkv**2 + (w**2)[..., None] - (s2**2)[..., None], 0.0)
             sq = jnp.sqrt(disc)
             for sgn in (1.0, -1.0):
-                iparts.append(
-                    jnp.clip(-s2[..., None] * mkv + sgn * sq, ylo_i[..., None], yhi_i[..., None])
-                )
-        y_edges = jnp.sort(jnp.concatenate(iparts, axis=-1), axis=-1)  # (T, NW, EY)
+                iparts.append(jnp.clip(-s2[..., None] * mkv + sgn * sq, lo_e, hi_e))
+            y_edges = jnp.sort(jnp.concatenate(iparts, axis=-1), axis=-1)  # (T, NW, EY)
+        else:
+            # kalbach/isotropic inner edges are just the clipped knots:
+            # sorted rows stay sorted under clip, the window ends bracket
+            # them, and out-of-window knots collapse to dead (zero-width)
+            # edge panels — identical multiset to the sorted concat, so
+            # the (T, NW, EY) jnp.sort is pure waste here (inner-edge
+            # construction was ~16% of the dispatch, round-4 ablation)
+            y_edges = jnp.concatenate([lo_e, kn_clip, hi_e], axis=-1)  # (T, NW, EY)
         sy = y_edges.shape[-1] - 1
         ymid = 0.5 * (y_edges[..., 1:] + y_edges[..., :-1])  # (T, NW, SY)
         yhalf = 0.5 * (y_edges[..., 1:] - y_edges[..., :-1])

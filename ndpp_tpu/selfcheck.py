@@ -190,7 +190,7 @@ def check_continuum() -> dict:
             jnp.asarray(e), jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr),
             jnp.asarray(aa), muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds), awr, PROD_ORDER,
         )
-        got = cm_moments_pointwise(*common, 10, 8, "kalbach", "tabular", True, 8, 0, "lagrange")
+        got = cm_moments_pointwise(*common, 10, 7, "kalbach", "tabular", True, 8, 0, "lagrange")
         ref = cm_moments_pointwise(*common, 16, 16, "kalbach", "tabular", True, 8, 0, "panels")
         gates.append(_family_gate(got, ref))
 
