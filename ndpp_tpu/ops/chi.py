@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import erf, erfc
 
+from ndpp_tpu.ops import select
 from ndpp_tpu.ops.legendre import gl_nodes_weights
 
 
@@ -70,7 +71,9 @@ def tabular_group_fractions(e_knots, pdf, bounds, clamp: bool = True):
         k - 2,
     )  # (T, G+1)
     payload = jnp.stack([e_knots[:, :-1], pdf[:, :-1], slope, prefix], axis=-1)  # (T, K-1, 4)
-    pb = jnp.take_along_axis(payload, idx[:, :, None], axis=1)  # (T, G+1, 4)
+    # exact one-hot f32 selection on the MXU (ops/select): an f64
+    # take_along_axis lowers to kCustom scalar gathers on XLA:TPU
+    pb = select.select_rows(payload, idx)  # (T, G+1, 4)
     h = jnp.maximum(b - pb[..., 0], 0.0)
     cum = pb[..., 3] + h * (pb[..., 1] + 0.5 * pb[..., 2] * h)  # (T, G+1)
     return cum[:, 1:] - cum[:, :-1]

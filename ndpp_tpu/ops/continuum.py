@@ -27,6 +27,7 @@ import scipy.special as sps
 import jax
 import jax.numpy as jnp
 
+from ndpp_tpu.ops import select
 from ndpp_tpu.ops.legendre import gl_nodes_weights
 from ndpp_tpu.ops.twobody import _affine_coeffs_rows
 
@@ -352,12 +353,12 @@ def cm_moments_pointwise(
         ok_w = yhi_i > ylo_i
 
         # ---- inner panel edges in y
-        idx_b = None
         if use_window:
             j0 = jnp.clip(_panel_index_rows(yk, ylo_i), 0, ke - nsel)  # (T, NW)
-            idx = j0[:, :, None] + jnp.arange(nsel, dtype=jnp.int32)[None, None, :]
-            idx_b = jnp.broadcast_to(idx, (tt, nw, nsel))
-            yk_sel = jnp.take_along_axis(yk[:, None, :], idx_b, axis=2)
+            # one-hot f32 window selection on the MXU — the f64
+            # take_along_axis here lowered to two kCustom scalar gathers
+            # measuring 51 ms of a 167 ms dispatch (round-5 profile)
+            yk_sel = select.select_windows(yk, j0, nsel)  # (T, NW, nsel)
         else:
             j0 = jnp.zeros((tt, nw), dtype=jnp.int32)
             yk_sel = jnp.broadcast_to(yk[:, None, :], (tt, nw, ke))
@@ -394,21 +395,38 @@ def cm_moments_pointwise(
         mu_lab = (w4**2 + (s2[..., None, None]) ** 2 - x) / jnp.maximum(2.0 * s2[..., None, None] * w4, 1e-30)
         mu_lab = jnp.clip(mu_lab, -1.0, 1.0)
 
-        # Interpolation channels: containing-knot-panel index by count over
-        # the (windowed) knots, then ONE take_along_axis of the stacked
-        # per-panel coefficients (chan_payload). Dead (duplicate-knot)
-        # panels can only be hit by dead y-panels (yhalf = 0), whose
-        # contribution is zeroed by wgt_y.
+        # Interpolation channels. For knot-delimited inner edges (kalbach /
+        # isotropic / nbody) the y-panel -> knot-panel correspondence is
+        # STATIC: y_edges = [lo, clip(knots j0..j0+nsel-1), hi], so live
+        # panel p lies in knot panel j0 + p - 1 (panel 0 is always dead:
+        # kn_clip[0] collapses onto lo). The containment count + dynamic
+        # payload gather of rounds 4-5 (29 ms of a 167 ms dispatch) are
+        # replaced by one MXU window selection + a static panel shift;
+        # dead (clip-collapsed) panels may read an arbitrary finite panel
+        # payload — their contribution is zeroed by wgt_y. The tabular
+        # path keeps the count (its inner edges interleave mu-crossing
+        # roots with the knots, so the correspondence is data-dependent)
+        # but does the payload lookup as a one-hot MXU selection too.
         cf = None
         if chan_payload is not None:
-            cnt = jnp.sum(
-                (yk_sel[:, :, None, :] <= ymid[..., None]).astype(jnp.int32), axis=-1
-            )  # (T, NW, SY)
-            jq = j0[:, :, None] + jnp.clip(cnt - 1, 0, nsel - 2)
-            jq = jnp.clip(jq, 0, ke - 2)
-            cf = jnp.take_along_axis(
-                chan_payload, jq.reshape(tt, nw * sy)[:, :, None], axis=1
-            ).reshape(tt, nw, sy, chan_payload.shape[-1])
+            if angular == "tabular":
+                cnt = jnp.sum(
+                    (yk_sel[:, :, None, :] <= ymid[..., None]).astype(jnp.int32), axis=-1
+                )  # (T, NW, SY)
+                jq = j0[:, :, None] + jnp.clip(cnt - 1, 0, nsel - 2)
+                jq = jnp.clip(jq, 0, ke - 2)
+                cf = select.select_rows(chan_payload, jq.reshape(tt, nw * sy)).reshape(
+                    tt, nw, sy, chan_payload.shape[-1]
+                )
+            elif use_window:
+                # cf[p] = payload[clip(j0 + p - 1, 0, ke-2)] via one window
+                # selection of the payload extended by a duplicated first
+                # row (payext[i] = payload[max(i - 1, 0)])
+                payext = jnp.concatenate([chan_payload[:, :1], chan_payload], axis=1)
+                cf = select.select_windows(payext, j0, nsel + 1)  # (T, NW, SY, C)
+            else:
+                p_idx = np.clip(np.arange(ke + 1) - 1, 0, ke - 2)  # static
+                cf = chan_payload[:, p_idx, :][:, None]  # (T, 1, SY, C) broadcast
 
         if energy == "nbody":
             pe = (

@@ -18,6 +18,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ndpp_tpu.ops import select
+
 
 def lagrange_antiderivative_coeffs(nq: int) -> np.ndarray:
     """(NQ, NQ+1) monomial coefficients of A_q(t) = int_{-1}^t L_q on GL nodes.
@@ -65,7 +67,14 @@ def lagrange_cumulants(edges, pmid_p, phalf_p, gvals, wg, boundaries, npan: int,
     pad_p = gvals.shape[1]
     nq_ = gvals.shape[2]
     l1 = gvals.shape[3]
-    totals = phalf_p[..., None] * jnp.einsum("q,tpql->tpl", wg, gvals)  # (T, P_pad, L+1)
+    # Contractions here are written as broadcast-multiply + sum, NOT
+    # einsum/dot: XLA:TPU lowers an f64 dot_general to a while-loop over
+    # [8, ...]-shaped bf16 split-product tensors (the f64-on-MXU
+    # emulation), which measured ~45 ms per continuum dispatch for a
+    # 5.6M-MAC contraction (round-5 profile) — the fused elementwise
+    # f64-emulated multiply+reduce is ~50x cheaper at these tiny
+    # contraction depths (q = 10, k = 11).
+    totals = phalf_p[..., None] * jnp.sum(gvals * wg[None, None, :, None], axis=2)  # (T, P_pad, L+1)
     prefix = jnp.cumsum(totals, axis=1) - totals  # exclusive
 
     b = boundaries if boundaries.ndim == 2 else jnp.broadcast_to(
@@ -76,12 +85,18 @@ def lagrange_cumulants(edges, pmid_p, phalf_p, gvals, wg, boundaries, npan: int,
     pidx = jnp.clip(
         jnp.sum((le <= b[:, :, None]).astype(jnp.int32), axis=2) - 1, 0, npan - 1
     )  # (T, NB) int32
-    mid_b = jnp.take_along_axis(pmid_p, pidx, axis=1)
-    half_b = jnp.take_along_axis(phalf_p, pidx, axis=1)
-    payload = jnp.concatenate([gvals.reshape(tt, pad_p, nq_ * l1), prefix], axis=2)
-    pay_b = jnp.take_along_axis(payload, pidx[:, :, None], axis=1)  # (T, NB, NQ*L1+L1)
-    nodes_b = pay_b[:, :, : nq_ * l1].reshape(tt, nb, nq_, l1)
-    prefix_b = pay_b[:, :, nq_ * l1 :]  # (T, NB, L+1)
+    # ONE exact one-hot f32 MXU selection (ops/select) of the combined
+    # panel payload [mid, half, node block, prefix] — f64 take_along_axis
+    # lowers to kCustom scalar gathers on XLA:TPU (round-5 profile)
+    payload = jnp.concatenate(
+        [pmid_p[:, :, None], phalf_p[:, :, None], gvals.reshape(tt, pad_p, nq_ * l1), prefix],
+        axis=2,
+    )
+    pay_b = select.select_rows(payload, pidx)  # (T, NB, 2 + NQ*L1 + L1)
+    mid_b = pay_b[:, :, 0]
+    half_b = pay_b[:, :, 1]
+    nodes_b = pay_b[:, :, 2 : 2 + nq_ * l1].reshape(tt, nb, nq_, l1)
+    prefix_b = pay_b[:, :, 2 + nq_ * l1 :]  # (T, NB, L+1)
     # floor 1e-30, NOT 1e-300: smaller flushes to zero in f32-range
     # TPU-emulated f64 (ops/dd.py range caveat), giving 0/0 NaN
     t_b = jnp.clip((b - mid_b) / jnp.maximum(half_b, 1e-30), -1.0, 1.0)
@@ -95,6 +110,6 @@ def lagrange_cumulants(edges, pmid_p, phalf_p, gvals, wg, boundaries, npan: int,
     for _ in range(nq):
         pows.append(pows[-1] * t_b)
     tpow = jnp.stack(pows, axis=-1)  # (T, NB, NQ+1)
-    aq = jnp.einsum("tgk,qk->tgq", tpow, acoef)  # A_q(t_b)
-    partial = half_b[..., None] * jnp.einsum("tgq,tgql->tgl", aq, nodes_b)
+    aq = jnp.sum(tpow[:, :, None, :] * acoef[None, None, :, :], axis=3)  # A_q(t_b)
+    partial = half_b[..., None] * jnp.sum(aq[..., None] * nodes_b, axis=2)
     return prefix_b + partial
