@@ -191,11 +191,9 @@ def _continuum_rate():
         muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds),
     )
     # ksel exactly as continuum_driver quantizes it for this shape
-    from ndpp_tpu.continuum_driver import _window_knot_bound
+    from ndpp_tpu.continuum_driver import _window_knot_bound, quantize_ksel
 
-    kb = _window_knot_bound(e, awr, kn)
-    kw = k // 8
-    ksel = kw if 0 < kb <= kw else 0
+    ksel = quantize_ksel(_window_knot_bound(e, awr, kn), k)
     # (10, 7): the driver's production Kalbach quadrature since round 5
     # (nq_w=8 measured over the 1e-8 bar at production shapes; nq_y=7
     # holds 9.5e-11 abs vs the independent reference, 6 does not)

@@ -54,6 +54,25 @@ def _window_knot_bound(e_rows: np.ndarray, awr: float, e_knots: np.ndarray) -> i
     return min(k, ke)
 
 
+def quantize_ksel(bound: int, k16: int) -> int:
+    """Clamp a window-knot bound onto the allowed ksel rung ladder.
+
+    Rungs {k/16, k/8, k/4} (each >= 4): every distinct ksel is a distinct
+    compiled kernel shape (minutes on the remote compiler, no persistent
+    cache for big kernels), so the ladder is short — but one rung ABOVE
+    the old single k/8 rung keeps nuclides with k/8 < bound <= k/4 on the
+    windowed path (the full-knot path measured ~4x slower at the bench
+    shape), and one below halves the inner panels when the bound allows.
+    Returns 0 (full-knot path) when no rung fits.
+    """
+    if bound <= 0:
+        return 0
+    for rung in (k16 // 16, k16 // 8, k16 // 4):
+        if rung >= 4 and rung < k16 and bound <= rung:
+            return rung
+    return 0
+
+
 def _tiles(ne: int, cap: int, e_tile: int = 512):
     """Dispatch tile size (parallel.rows.tile_for) + the tile spans."""
     from ndpp_tpu.parallel import rows as rows_mod
@@ -172,14 +191,9 @@ def _law_moments(
                     # bound on the UNPADDED knots: edge-pad duplicates all sit
                     # at the top of the window and were inflating `need` past
                     # the windowed-path threshold at production shapes (round 3)
-                    ksel = _window_knot_bound(prep.e, awr, prep.e_knots)
-                    # Exactly TWO compiled classes per knot bucket — windowed at
-                    # K_pad/8 or the full-knot path. Each distinct kernel shape
-                    # costs minutes on the remote compiler (no persistent cache
-                    # for big kernels), so ksel variety is quantized hard; the
-                    # window only pays when it is MUCH narrower than the table.
-                    kw = kn.shape[1] // 8
-                    ksel = kw if 0 < ksel <= kw else 0
+                    ksel = quantize_ksel(
+                        _window_knot_bound(prep.e, awr, prep.e_knots), kn.shape[1]
+                    )
         # per-row group-band windows (round 5): the CM kinematic reach
         # [E'_min, E'_max] is closed-form from the knot table and s —
         # narrow for exactly the heavy nuclides that dominate a library —
@@ -398,8 +412,7 @@ def batched_continuum_moments(nuc, rxn_rows, gs, order, cfg, metrics=None) -> li
                 need = max(
                     _window_knot_bound(p.e, nuc.awr, p.e_knots) or k16 for _, p in members
                 )
-                kw = k16 // 8
-                ksel = kw if 0 < need <= kw else 0
+                ksel = quantize_ksel(need, k16)
         pooled = _pooled_prep(kind, k16, [p for _, p in members])
         mom_all = _law_moments(pooled, gs, order, cfg, nuc.awr, metrics, ksel_override=ksel)
         off = 0

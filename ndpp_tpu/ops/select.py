@@ -34,7 +34,12 @@ def split3(x):
 
     Each rounding leaves a residual with ~29 fewer significant bits, so
     three pieces carry ~72 bits — the reconstruction a + b + c, summed
-    hi-to-lo in f64, reproduces x exactly (f64 carries 53).
+    hi-to-lo in f64, reproduces x exactly (f64 carries 53) whenever the
+    third piece (~2^-48 |x|) stays in NORMAL f32 range: |x| in
+    ~[3e-24, 1e38]. Below that the flushed piece leaves <= ~2^-49
+    relative residual; above, the first piece overflows — callers'
+    payloads (eV-scale knots, pdfs, slopes, cumulants) sit comfortably
+    inside (tests/test_select.py pins both regimes).
     """
     a = x.astype(jnp.float32)
     r = x - a.astype(x.dtype)
