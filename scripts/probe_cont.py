@@ -43,9 +43,9 @@ def main():
         jnp.asarray(kn), jnp.asarray(pd), jnp.asarray(rr), jnp.asarray(aa),
         muk, mup, jnp.zeros(rows), 0.0, jnp.asarray(bounds),
     )
-    kb = _window_knot_bound(e, awr, kn)
-    kw = k // 8
-    ksel = kw if 0 < kb <= kw else 0
+    from ndpp_tpu.continuum_driver import quantize_ksel
+
+    ksel = quantize_ksel(_window_knot_bound(e, awr, kn), k)
 
     variants = {
         "prod": dict(nq_w=10, nq_y=7, angular="kalbach", chunk=8, ksel=ksel, split="lagrange"),
